@@ -1,0 +1,141 @@
+"""Batched pairwise alignment driver: device forward DP + host traceback.
+
+The device computes every DP row (scores, difference planes, band anchors)
+for a batch of pairs; the host decodes CIGARs from the stored planes with the
+reference's exact backcal tie-break rules (bsalign.h:3704-3852). CIGAR decode
+is O(alignment length) and irregular — a poor fit for the TPU — while the
+O(tlen * bandwidth) cell updates stay on device.
+"""
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple
+
+import numpy as np
+
+from ..cigar import AlnResult
+from ..constants import MODE_GLOBAL, SCORE_EPI8_MIN, SCORE_MIN, WORDSIZE, mode_type, roundup
+from ..oracle import banded8 as O
+from ..ops import banded8_jax as K
+
+WS = WORDSIZE
+
+
+def _pack_batch(qseqs: Sequence[np.ndarray], tseqs: Sequence[np.ndarray],
+                bandwidth: int):
+    B = len(qseqs)
+    qlens = np.array([len(q) for q in qseqs], np.int32)
+    tlens = np.array([len(t) for t in tseqs], np.int32)
+    C = 1
+    while C < bandwidth + bandwidth // WS:
+        C *= 2
+    QP = roundup(int(qlens.max()) + bandwidth + WS + 1, C)
+    T = int(tlens.max())
+    qpad = np.full((B, QP), 4, np.int32)
+    tpad = np.zeros((B, T), np.int32)
+    for i, (q, t) in enumerate(zip(qseqs, tseqs)):
+        qpad[i, : len(q)] = q
+        tpad[i, : len(t)] = t
+    # host-precomputed double-rounded diagonal targets (bsalign.h:4009)
+    i_idx = np.arange(T, dtype=np.float64)[:, None]
+    rby = ((i_idx / tlens[None, :].astype(np.float64))
+           * qlens[None, :].astype(np.float64)).astype(np.int32)
+    return qpad, qlens, tpad, tlens, rby, T
+
+
+def _mtx5(mtx: np.ndarray) -> np.ndarray:
+    m5 = np.full((5, 4), SCORE_EPI8_MIN, np.int32)
+    m5[:4, :] = mtx.reshape(4, 4)
+    return m5
+
+
+def _init_state(mode, bandwidth, piecewise, smax, smin, gapo1, gape1, gapo2,
+                gape2, B):
+    st = O.row_init(mode, bandwidth, smax, smin, gapo1, gape1, gapo2, gape2)
+    W = bandwidth // WS
+    us = np.broadcast_to(st.us.astype(np.int32)[:, :, None], (W, WS, B)).copy()
+    ub = np.broadcast_to(st.ubegs.astype(np.int32)[:, None], (WS + 1, B)).copy()
+    es = qs = None
+    if piecewise:
+        es = np.broadcast_to(st.es.astype(np.int32)[:, :, None], (W, WS, B)).copy()
+    if piecewise == 2:
+        qs = np.broadcast_to(st.qs.astype(np.int32)[:, :, None], (W, WS, B)).copy()
+    return us, es, qs, ub, st
+
+
+DEVICE_CHUNK = 256  # pairs per forward call: peak VPU throughput, fits VMEM
+
+
+def align_batch(qseqs: Sequence[np.ndarray], tseqs: Sequence[np.ndarray],
+                mode: int, bandwidth: int, mtx: np.ndarray, gapo1: int,
+                gape1: int, gapo2: int, gape2: int,
+                ) -> List[Tuple[AlnResult, List[int]]]:
+    """Align a batch of (query, target) pairs; same bandwidth for all.
+
+    bandwidth == 0 means full band per pair (only valid when all queries pad
+    to one bucket; the CLI buckets by rounded qlen first). Batches larger
+    than DEVICE_CHUNK are processed in chunks to stay in VMEM.
+    """
+    if len(qseqs) > DEVICE_CHUNK:
+        out: List[Tuple[AlnResult, List[int]]] = []
+        for c in range(0, len(qseqs), DEVICE_CHUNK):
+            out.extend(align_batch(qseqs[c:c + DEVICE_CHUNK],
+                                   tseqs[c:c + DEVICE_CHUNK], mode, bandwidth,
+                                   mtx, gapo1, gape1, gapo2, gape2))
+        return out
+    B = len(qseqs)
+    if bandwidth == 0:
+        bandwidth = max(len(q) for q in qseqs)
+    bandwidth = roundup(bandwidth, WS)
+    W = bandwidth // WS
+    piecewise = O.get_piecewise(gapo1, gape1, gapo2, gape2, bandwidth)
+    smax = int(mtx.max())
+    smin = int(mtx.min())
+    qpad, qlens, tpad, tlens, rby, T = _pack_batch(qseqs, tseqs, bandwidth)
+    us0, es0, qs0, ub0, _ = _init_state(mode, bandwidth, piecewise, smax,
+                                        smin, gapo1, gape1, gapo2, gape2, B)
+    fwd = K.make_forward(T, W, mode, piecewise, gapo1, gape1, gapo2, gape2,
+                         smax, smin)
+    res = fwd(qpad, qlens, tpad, tlens, _mtx5(mtx), rby, us0, es0, qs0, ub0)
+    planes = res.planes
+    us_p = np.asarray(planes.us)
+    es_p = None if planes.es is None else np.asarray(planes.es)
+    qs_p = None if planes.qs is None else np.asarray(planes.qs)
+    ub_p = np.asarray(planes.ubegs)
+    begs_p = np.asarray(planes.begs)
+    score = np.asarray(res.score)
+    qe = np.asarray(res.qe)
+    te = np.asarray(res.te)
+    fin_us = np.asarray(res.final_us)
+    fin_ub = np.asarray(res.final_ubegs)
+    fin_rbeg = np.asarray(res.final_rbeg)
+
+    out = []
+    init_row = O.row_init(mode, bandwidth, smax, smin, gapo1, gape1, gapo2,
+                          gape2)
+    for b in range(B):
+        tl = int(tlens[b])
+        rows = []
+        for i in range(tl):
+            st = O.RowState.__new__(O.RowState)
+            st.us = us_p[i, :, b].reshape(W, WS)
+            st.es = None if es_p is None else es_p[i, :, b].reshape(W, WS)
+            st.qs = None if qs_p is None else qs_p[i, :, b].reshape(W, WS)
+            st.ubegs = ub_p[i, :, b].astype(np.int64)
+            rows.append(st)
+        begs = [int(x) for x in begs_p[:tl, b]]
+        rs = AlnResult(score=int(score[b]), qe=int(qe[b]), te=int(te[b]))
+        if mode_type(mode) != MODE_GLOBAL:
+            # final-row row_max candidate (bsalign.h:4039-4044)
+            stf = O.RowState.__new__(O.RowState)
+            stf.us = fin_us[:, :, b].astype(np.int8)
+            stf.es = stf.qs = None
+            stf.ubegs = fin_ub[:, b].astype(np.int64)
+            rmax, max_score = O.row_max(stf, W)
+            if max_score > rs.score:
+                rs.score = max_score
+                rs.qe = int(fin_rbeg[b]) + rmax
+                rs.te = tl - 1
+        cigars = O.backcal(qseqs[b], tseqs[b], init_row, rows, begs, mode,
+                           bandwidth, mtx, gapo1, gape1, gapo2, gape2, rs)
+        out.append((rs, cigars))
+    return out
