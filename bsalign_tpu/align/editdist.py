@@ -1,0 +1,270 @@
+"""Batched edit-distance driver: device bit-parallel rows + host traceback.
+
+Band trajectories are data-independent (bsalign.h:1108-1117) so they are
+precomputed on host; the device runs the Myers-form bit-plane rows for a
+whole batch and stores the u-planes per row; the host decodes CIGARs with the
+reference's tie-break priority (match > I > D > mismatch).
+
+The kmer-guided mode chains unique kmer anchors on host (oracle logic) and
+batch-aligns all inter-anchor segments on device, grouped by bandwidth.
+"""
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple
+
+import numpy as np
+
+from ..cigar import AlnResult
+from ..constants import (MODE_EXTEND, MODE_GLOBAL, MODE_KMER, MODE_OVERLAP,
+                         mode_type, roundup)
+from ..oracle import edit as OE
+from ..ops import edit_jax as K
+
+MAX_B4 = 0x7FFFFFFF
+DEVICE_CHUNK = 256
+
+
+def _band_trajectory(qlen: int, tlen: int, bandwidth: int, banded: bool,
+                     T: int) -> Tuple[np.ndarray, np.ndarray]:
+    rbegs = np.zeros(T, np.int32)
+    if banded:
+        qro = roundup(qlen, 64)
+        for i in range(min(tlen, T)):
+            r = (i * qlen) // tlen
+            r = 0 if r < bandwidth // 2 else r - bandwidth // 2
+            if r + bandwidth > qro:
+                r = qro - bandwidth
+            rbegs[i] = r
+    movxs = np.diff(rbegs, prepend=0).astype(np.int32)
+    return rbegs, movxs
+
+
+def _qeq_planes(qseqs: Sequence[np.ndarray], NWQ: int) -> np.ndarray:
+    """[4, B, NWQ] uint32: bit x of word w = (qseq[32w + x] == base)."""
+    B = len(qseqs)
+    out = np.zeros((4, B, NWQ), np.uint32)
+    for b, q in enumerate(qseqs):
+        bits = np.zeros((4, NWQ * 32), bool)
+        for v in range(4):
+            bits[v, : len(q)] = q == v
+        packed = np.packbits(bits.reshape(4, NWQ, 32)[:, :, ::-1], axis=2,
+                             bitorder="big")
+        out[:, b, :] = packed.reshape(4, NWQ, 4).view(">u4")[:, :, 0]
+    return out
+
+
+def _unpack_u(pm: np.ndarray, pp: np.ndarray, bw: int) -> np.ndarray:
+    """bit-planes [NW] uint32 -> int8 u values [bw]."""
+    bits_m = np.unpackbits(pm.astype(">u4").view(np.uint8).reshape(-1, 4)
+                           [:, ::-1], axis=1, bitorder="little").reshape(-1)
+    bits_p = np.unpackbits(pp.astype(">u4").view(np.uint8).reshape(-1, 4)
+                           [:, ::-1], axis=1, bitorder="little").reshape(-1)
+    return (bits_p.astype(np.int8) - bits_m.astype(np.int8))[:bw]
+
+
+def _unpack_u_simple(pm: np.ndarray, pp: np.ndarray, bw: int) -> np.ndarray:
+    NW = len(pm)
+    u = np.zeros(bw, np.int8)
+    idx = np.arange(bw)
+    w = idx // 32
+    b = idx % 32
+    mbit = (pm[w] >> b) & 1
+    pbit = (pp[w] >> b) & 1
+    return (pbit.astype(np.int8) - mbit.astype(np.int8))
+
+
+def _edit_bucket(qseqs, tseqs, mode, bandwidth, banded
+                 ) -> List[Tuple[AlnResult, List[int]]]:
+    """All pairs share one bandwidth (and banded-ness)."""
+    B = len(qseqs)
+    qlens = np.array([len(q) for q in qseqs], np.int32)
+    tlens = np.array([len(t) for t in tseqs], np.int32)
+    T = int(tlens.max())
+    NW = bandwidth // 32
+    bw = bandwidth
+    # chunked window needs NWQ % C == 0
+    C = 1
+    while C < NW + 1:
+        C *= 2
+    need = max(int(np.ceil((int(qlens.max()) + 1) / 32)), NW + 1)
+    NWQ = roundup(need + NW + 1, C)
+    qeq = _qeq_planes(qseqs, NWQ)
+    tpad = np.zeros((B, T), np.int32)
+    rbegs = np.zeros((T, B), np.int32)
+    movxs = np.zeros((T, B), np.int32)
+    for b in range(B):
+        tpad[b, : tlens[b]] = tseqs[b]
+        rbegs[:, b], movxs[:, b] = _band_trajectory(
+            int(qlens[b]), int(tlens[b]), bw, banded, T)
+    fwd = K.make_edit_forward(T, NW, mode, NWQ, True)
+    res = fwd(qeq, qlens, tpad, tlens, rbegs, movxs)
+    pm_t = np.asarray(res.pm)
+    pp_t = np.asarray(res.pp)
+    smin = np.asarray(res.smin)
+    ry_a = np.asarray(res.ry)
+    score_g = np.asarray(res.final_score)
+    sbeg_f = np.asarray(res.final_sbeg)
+
+    out = []
+    mt = mode_type(mode)
+    for b in range(B):
+        qlen, tlen = int(qlens[b]), int(tlens[b])
+        if qlen == 0 or tlen == 0:
+            out.append((AlnResult(), []))
+            continue
+        uts = np.ones((tlen + 1, bw), np.int8)
+        for i in range(tlen):
+            uts[i + 1] = _unpack_u_simple(pm_t[i, :, b], pp_t[i, :, b], bw)
+        begs = [0] + [int(rbegs[i, b]) for i in range(tlen)]
+        rx, ry = qlen - 1, tlen - 1
+        sm = int(smin[b])
+        if mt in (MODE_OVERLAP, MODE_EXTEND) and sm < MAX_B4:
+            ry = int(ry_a[b])
+        if mt == MODE_EXTEND:
+            pref = int(sbeg_f[b]) + np.cumsum(uts[tlen].astype(np.int64))
+            k = int(np.argmin(pref))
+            if int(pref[k]) < sm:
+                sm = int(pref[k])
+                rx, ry = k, tlen - 1
+        rs, cigars = OE.edit_backtrace(uts, begs, qseqs[b], rx, tseqs[b], ry,
+                                       mode)
+        if mt == MODE_OVERLAP:
+            rs.score = sm + rs.te - rs.tb
+        elif mt == MODE_EXTEND:
+            rs.score = sm
+        else:
+            rs.score = int(score_g[b])
+        out.append((rs, cigars))
+    return out
+
+
+def edit_batch(qseqs: Sequence[np.ndarray], tseqs: Sequence[np.ndarray],
+               mode: int, bandwidth: int) -> List[Tuple[AlnResult, List[int]]]:
+    """Batch edit alignment with the reference's per-pair band selection
+    (bsalign.h:1055-1067); pairs are bucketed by effective bandwidth."""
+    buckets = {}
+    for i, (q, t) in enumerate(zip(qseqs, tseqs)):
+        if len(q) == 0 or len(t) == 0:
+            buckets.setdefault(None, []).append(i)
+            continue
+        bw = OE._select_bandwidth(len(q), len(t), mode, bandwidth)
+        banded = (mode_type(mode) not in (MODE_OVERLAP, MODE_EXTEND)
+                  and bw < len(q))
+        buckets.setdefault((bw, banded), []).append(i)
+    results: List = [None] * len(qseqs)
+    for key, idxs in buckets.items():
+        if key is None:
+            for i in idxs:
+                results[i] = (AlnResult(), [])
+            continue
+        bw, banded = key
+        for c in range(0, len(idxs), DEVICE_CHUNK):
+            chunk = idxs[c:c + DEVICE_CHUNK]
+            outs = _edit_bucket([qseqs[i] for i in chunk],
+                                [tseqs[i] for i in chunk], mode, bw, banded)
+            for i, r in zip(chunk, outs):
+                results[i] = r
+    return results
+
+
+def kmer_edit_batch(ksz: int, qseqs: Sequence[np.ndarray],
+                    tseqs: Sequence[np.ndarray]
+                    ) -> List[Tuple[AlnResult, List[int]]]:
+    """Kmer-synteny chained edit alignment for a batch: host chaining, then
+    one device-batched pass over all inter-anchor segments."""
+    if ksz > 15:
+        ksz = 15
+    B = len(qseqs)
+    chains = [OE._kmer_chain(q, t, ksz) for q, t in zip(qseqs, tseqs)]
+    # collect segments: (pair, segno, mode, qseg, tseg)
+    segs = []
+    for b in range(B):
+        if not chains[b]:
+            segs.append((b, 0, MODE_GLOBAL, qseqs[b], tseqs[b], False))
+            continue
+        chain = chains[b]
+        qb = tb = 0
+        for i in range(len(chain) + 1):
+            if i == len(chain):
+                qe, te = len(qseqs[b]), len(tseqs[b])
+                m = MODE_EXTEND
+                rev = False
+            else:
+                qe = chain[i][0] + ksz // 2
+                te = chain[i][1] + ksz // 2
+                m = MODE_EXTEND if i == 0 else MODE_GLOBAL
+                rev = i == 0
+            if not (qb == qe and tb == te):
+                if rev:
+                    qseg = qseqs[b][:qe][::-1].copy()
+                    tseg = tseqs[b][:te][::-1].copy()
+                else:
+                    qseg = qseqs[b][qb:qe]
+                    tseg = tseqs[b][tb:te]
+                segs.append((b, i, m, qseg, tseg, rev))
+            qb, tb = qe + 1, te + 1
+    # batch-align segments grouped by mode (bandwidth = full per segment)
+    seg_results = {}
+    by_mode = {}
+    for si, s in enumerate(segs):
+        by_mode.setdefault(s[2], []).append(si)
+    for m, sis in by_mode.items():
+        outs = edit_batch([segs[si][3] for si in sis],
+                          [segs[si][4] for si in sis], m, 0)
+        for si, r in zip(sis, outs):
+            seg_results[si] = r
+    # assemble per pair, mirroring kmer_striped_seqedit_pairwise
+    seg_by_pair = {}
+    for si, s in enumerate(segs):
+        seg_by_pair.setdefault(s[0], {})[s[1]] = (s, seg_results[si])
+    results = []
+    for b in range(B):
+        if not chains[b]:
+            results.append(seg_by_pair[b][0][1])
+            continue
+        chain = chains[b]
+        RS = AlnResult()
+        cigars: List[int] = []
+
+        def push(op, sz):
+            if cigars and (cigars[-1] & 0xF) == op:
+                cigars[-1] += sz << 4
+            else:
+                cigars.append((sz << 4) | op)
+
+        qb = tb = ml = 0
+        for i in range(len(chain) + 1):
+            if i == len(chain):
+                qe, te = len(qseqs[b]), len(tseqs[b])
+            else:
+                qe = chain[i][0] + ksz // 2
+                te = chain[i][1] + ksz // 2
+                ml += 1
+            if not (qb == qe and tb == te):
+                if ml:
+                    push(0, ml)
+                    RS.mat += ml
+                    RS.aln += ml
+                    ml = 0
+                (s, (rs2, cg2)) = seg_by_pair[b][i]
+                if s[5]:  # reversed head segment
+                    cigars.extend(cg2)
+                    cigars.reverse()
+                    RS.qb = qe - rs2.qe
+                    RS.tb = te - rs2.te
+                    RS.qe = qe
+                    RS.te = te
+                else:
+                    for cg in cg2:
+                        push(cg & 0xF, cg >> 4)
+                    RS.qe = qb + rs2.qe
+                    RS.te = tb + rs2.te
+                RS.mat += rs2.mat
+                RS.mis += rs2.mis
+                RS.ins += rs2.ins
+                RS.dele += rs2.dele
+                RS.aln += rs2.aln
+                RS.score += rs2.score
+            qb, tb = qe + 1, te + 1
+        results.append((RS, cigars))
+    return results

@@ -250,8 +250,9 @@ def _qprof_row(qpad, rbeg, tbase, mtx5, W):
 
 
 def make_forward(T: int, W: int, mode: int, piecewise: int, gapo1: int,
-                 gape1: int, gapo2: int, gape2: int, nt_max: int, nt_min: int):
-    """Build the jitted batched forward pass for fixed geometry/costs."""
+                 gape1: int, gapo2: int, gape2: int, nt_max: int, nt_min: int,
+                 jit: bool = True):
+    """Build the (jitted) batched forward pass for fixed geometry/costs."""
     BW = W * WS
     GapE = gape1
     GapOE = gapo1 + gape1
@@ -510,4 +511,4 @@ def make_forward(T: int, W: int, mode: int, piecewise: int, gapo1: int,
         planes = RowPlanes(us_p, es_p, qs_p, ub_p, begs_p)
         return ForwardResult(planes, score, qe, te, us_f, ub_f, rbeg_f)
 
-    return jax.jit(forward)
+    return jax.jit(forward) if jit else forward

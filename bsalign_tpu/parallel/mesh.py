@@ -1,0 +1,57 @@
+"""Data-parallel sharding of alignment batches over a device mesh.
+
+Alignment is embarrassingly parallel across pairs (SURVEY.md §2.6): the only
+parallel axis is the batch. State tensors are batch-minor ([..., B]) so the
+batch shards over the mesh's data axis with zero collectives in the hot loop;
+result gathering happens on host after device_get. Multi-host extends this by
+sharding the input stream per process (jax.distributed) — the forward program
+is identical.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops import banded8_jax as K
+
+DATA_AXIS = "data"
+
+
+def make_mesh(devices: Optional[Sequence] = None) -> Mesh:
+    devs = list(devices) if devices is not None else jax.devices()
+    return Mesh(np.array(devs), (DATA_AXIS,))
+
+
+def make_sharded_forward(T, W, mode, piecewise, gapo1, gape1, gapo2, gape2,
+                         nt_max, nt_min, mesh: Mesh):
+    """Jit the banded-8 forward with batch sharded over the mesh data axis.
+
+    Per-argument layouts (batch axis marked 'd'):
+      qpad [B,QP]=(d,·)  qlen [B]=(d)  tseq [B,T]=(d,·)  tlen [B]=(d)
+      mtx5 [5,4]=repl    rby [T,B]=(·,d)
+      init_us/es/qs [W,WS,B]=(·,·,d)  init_ub [WS+1,B]=(·,d)
+    """
+    fwd = K.make_forward(T, W, mode, piecewise, gapo1, gape1, gapo2, gape2,
+                         nt_max, nt_min, jit=False)
+
+    def sh(*spec):
+        return NamedSharding(mesh, P(*spec))
+
+    d = DATA_AXIS
+    state_sh = sh(None, None, d) if piecewise else None
+    in_sh = (
+        sh(d, None),            # qpad
+        sh(d),                  # qlen
+        sh(d, None),            # tseq
+        sh(d),                  # tlen
+        sh(None, None),         # mtx5
+        sh(None, d),            # rby
+        sh(None, None, d),      # init_us
+        sh(None, None, d) if piecewise else None,       # init_es
+        sh(None, None, d) if piecewise == 2 else None,  # init_qs
+        sh(None, d),            # init_ub
+    )
+    return jax.jit(fwd, in_shardings=in_sh)
