@@ -96,7 +96,11 @@ def set_query_prof(qseq: np.ndarray, qlen: int, bandwidth: int,
     xs = np.arange(xlen + 1)[:, None] + np.arange(WS)[None, :] * W  # [x, j]
     valid = xs < qlen
     qv = np.where(valid, qseq[np.minimum(xs, qlen - 1)].astype(np.int64), 0)
-    m4 = mtx.reshape(4, 4)  # [qbase, tbase]
+    qv = np.minimum(qv, 4)
+    # row 4: N scores as SCORE_EPI8_MIN (the reference reads out-of-bounds
+    # matrix memory here, main.c cat path; we define it instead)
+    m4 = np.full((5, 4), SCORE_EPI8_MIN, np.int8)
+    m4[:4] = mtx.reshape(4, 4)  # [qbase, tbase]
     for b in range(4):
         qprof[:, b, :] = np.where(valid, m4[qv, b], SCORE_EPI8_MIN)
     return qprof
@@ -818,3 +822,34 @@ def pairwise(qseq: np.ndarray, tseq: np.ndarray, mode: int, bandwidth: int,
     cigars = backcal(qseq, tseq, init, rows, begs, mode, bandwidth, mtx,
                      gapo1, gape1, gapo2, gape2, rs)
     return rs, cigars
+
+
+def row_merge(st0: RowState, st1: RowState, W: int, piecewise: int) -> RowState:
+    """Elementwise max-merge of two rows into a new row (bsalign.h:2474-2616).
+
+    The reference computes this in saturated int16 deltas but carries an
+    always-on int32 self-check that aborts on any divergence (bsalign.h:2489,
+    2551-2562), so exact int32 arithmetic is authoritative; merged e/q planes
+    saturate to int8 on store (mm_packs_epi16).
+    """
+    out = RowState(W, piecewise)
+    out.ubegs[:WS] = np.maximum(st0.ubegs[:WS], st1.ubegs[:WS])
+    out.ubegs[WS] = max(int(st0.ubegs[WS]), int(st1.ubegs[WS]))
+    r0 = st0.ubegs[:WS].astype(np.int64).copy()
+    r1 = st1.ubegs[:WS].astype(np.int64).copy()
+    r2 = np.maximum(r0, r1)
+    for i in range(W):
+        r0 += st0.us[i].astype(np.int64)
+        r1 += st1.us[i].astype(np.int64)
+        rm = np.maximum(r0, r1)
+        out.us[i] = np.clip(rm - r2, -128, 127).astype(np.int8)
+        r2 = rm
+        if piecewise:
+            e0 = r0 + st0.es[i].astype(np.int64)
+            e1 = r1 + st1.es[i].astype(np.int64)
+            out.es[i] = np.clip(np.maximum(e0, e1) - rm, -128, 127).astype(np.int8)
+        if piecewise == 2:
+            q0 = r0 + st0.qs[i].astype(np.int64)
+            q1 = r1 + st1.qs[i].astype(np.int64)
+            out.qs[i] = np.clip(np.maximum(q0, q1) - rm, -128, 127).astype(np.int8)
+    return out

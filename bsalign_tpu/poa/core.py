@@ -1,0 +1,1927 @@
+"""BSPOA: banded striped partial-order alignment / consensus / SNV host engine.
+
+A from-scratch reimplementation of the reference pipeline (bspoa.h):
+  beg/push/end -> kmer shuffle -> incremental graph alignment (banded striped
+  DP rows per node, topological order, row merge on in-degree>1, traceback
+  fusing matches into aligned rings) -> topological MSA extraction -> 5-state
+  HMM consensus with qualities -> profile realignment rounds -> SNV calling.
+
+Numeric semantics (int8-saturated DP rows, double-precision HMM, float32 SNV
+histograms, unstable-sort tie orders) match the reference exactly; the hot DP
+kernels are shared with the pairwise oracle and are replaced by the batched
+device engines at a higher level.
+"""
+from __future__ import annotations
+
+import math
+import sys
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..cigar import AlnResult
+from ..constants import (MODE_GLOBAL, MODE_OVERLAP, SCORE_MIN, WORDSIZE,
+                         mode_type, roundup)
+from ..oracle import banded8 as B8
+from ..oracle import edit as OE
+from .csort import c_sort_array, shuffle_array
+from .graph import Graph
+
+WS = WORDSIZE
+MIN_LOGVAL = -1000000000.0
+QLT_MAX = 90
+MAX_U4 = 0xFFFFFFFF
+
+
+@dataclass
+class BSPOAPar:
+    refmode: int = 0
+    shuffle: int = 1
+    alnmode: int = MODE_OVERLAP
+    realn: int = 3
+    seqcore: int = 40
+    nrec: int = 20
+    ksz: int = 15
+    bwtrigger: int = 1
+    bandwidth: int = 128
+    M: int = 2
+    X: int = -6
+    O: int = -3
+    E: int = -2
+    Q: int = -8
+    P: int = -1
+    T: int = 20
+    refbonus: int = 1
+    editbw: int = 64
+    althi: int = 5
+    qlthi: int = 70
+    psub: float = 0.10
+    pins: float = 0.10
+    pdel: float = 0.15
+    piex: float = 0.15
+    pdex: float = 0.20
+    hins: float = 0.20
+    hdel: float = 0.40
+    min_varcnt: int = 3
+    min_covfrq: float = 0.5
+    min_snvqlt: int = 5
+
+
+def gen_dptable(par: BSPOAPar):
+    """Event table: (cur cns, cur read, last cns base, last state) -> event
+    (bspoa.h:142-204)."""
+    os_ = [1 - par.psub, par.psub, par.pins, par.pdel, par.piex, par.pdex,
+           par.hins, par.hdel]
+    ps = [math.log(x) for x in os_]
+    table = np.zeros(5 * 5 * 5 * 5, dtype=np.uint8)
+    for i in range(5 ** 4):
+        a = i % 5
+        b = (i // 5) % 5
+        c = (i // 25) % 5
+        d = (i // 125) % 5
+        if a < 4:
+            if b < 4:
+                if a == b:
+                    table[i] = (0 << 3) | 0
+                else:
+                    table[i] = (1 << 3) | 0
+            else:
+                if d == 2:
+                    if a == c and ps[7] > ps[5]:
+                        table[i] = (7 << 3) | 2
+                    else:
+                        table[i] = (5 << 3) | 2
+                else:
+                    if a == c and ps[7] > ps[3]:
+                        table[i] = (7 << 3) | 2
+                    else:
+                        table[i] = (3 << 3) | 2
+        else:
+            if b < 4:
+                if d == 1:
+                    if b == c and ps[6] > ps[4]:
+                        table[i] = (6 << 3) | 1
+                    else:
+                        table[i] = (4 << 3) | 1
+                else:
+                    if b == c and ps[6] > ps[2]:
+                        table[i] = (6 << 3) | 1
+                    else:
+                        table[i] = (2 << 3) | 1
+            else:
+                table[i] = (0 << 3) | d
+    return ps, os_, table
+
+
+_log_caches = [0.0]
+
+
+def cal_permutation(n: int, m: int) -> float:
+    if n > 1000:
+        return 1.0
+    while len(_log_caches) <= n:
+        _log_caches.append(_log_caches[-1] + math.log(len(_log_caches)))
+    return _log_caches[n] - _log_caches[m] - _log_caches[n - m]
+
+
+def cal_binomial(n: int, m: int, p: float) -> float:
+    return math.log(p) * m + math.log(1 - p) * (n - m) + cal_permutation(n, m)
+
+
+def cal_normal_cdf(value: float) -> float:
+    return math.erfc(-value / 1.4142135623731) / 2
+
+
+def sum_log_nums(vals) -> float:
+    """Log-sum-exp with the reference's +-40 cutoff (bspoa.h:3413-3453)."""
+    s = MIN_LOGVAL
+    for v in vals:
+        if v == MIN_LOGVAL:
+            continue
+        if v > s:
+            if v >= s + 40:
+                s = v
+                continue
+            delta = s - v
+            s = v
+        else:
+            if s >= v + 40:
+                continue
+            delta = v - s
+        s += math.log(1 + math.exp(delta))
+    return s
+
+
+def c_log(x: float) -> float:
+    if x > 0:
+        return math.log(x)
+    return float("-inf") if x == 0 else float("nan")
+
+
+class BSPOA:
+    def __init__(self, par: BSPOAPar = None):
+        self.par = par if par is not None else BSPOAPar()
+        self.par.bandwidth = roundup(self.par.bandwidth, WS)
+        # the reference stores probabilities as C floats (bspoa.h:69-71);
+        # every use promotes float->double, so round-trip through float32
+        for fld in ("psub", "pins", "pdel", "piex", "pdex", "hins", "hdel",
+                    "min_covfrq"):
+            setattr(self.par, fld, float(np.float32(getattr(self.par, fld))))
+        self.dpvals, self.dporis, self.dptable = gen_dptable(self.par)
+        self.keep_seqs = False
+        self._reset()
+
+    def _reset(self):
+        self.seqs: List[np.ndarray] = []  # 2-bit code arrays
+        self.cigars: List[List[int]] = []
+        self.g = Graph()
+        self.ords: List[int] = []
+        self.nmsa = 0
+        self.nrds = 0
+        self.backbone = 0
+        self.msacols: Optional[np.ndarray] = None  # [mlen, mrow] uint8
+        self.msaidxs: List[int] = []
+        self.cns = np.zeros(0, np.uint8)
+        self.qlt = np.zeros(0, np.uint8)
+        self.alt = np.zeros(0, np.uint8)
+        self.var: List[dict] = []
+        # alignment scratch
+        self.rows: Dict[int, B8.RowState] = {}
+        self.sels: List[int] = []
+        self.states: set = set()
+        self.todels: List[Tuple[int, int]] = []
+        self.rdregs0: List[int] = []
+        self.rdregs1: List[int] = []
+        self.qseq = np.zeros(0, np.uint8)
+        self.qlen = self.slen = 0
+        self.qb = self.qe = 0
+        self.bandwidth = 0
+        self.piecewise = 1
+        self.qprof = [None] * 4
+        self.maxscr = SCORE_MIN
+        self.maxidx = -1
+        self.maxoff = -1
+
+    # ------------------------------------------------------------------ API
+    def beg(self):
+        if self.keep_seqs:
+            self.keep_seqs = False
+            seqs = self.seqs
+            cigars = self.cigars
+            cns, qlt, alt = self.cns, self.qlt, self.alt
+            self._reset()
+            self.seqs = seqs
+            self.cigars = cigars
+            self.cns, self.qlt, self.alt = cns, qlt, alt
+        else:
+            self._reset()
+        if not self.par.refmode:
+            self.push_codes(np.zeros(0, np.uint8))
+
+    def push(self, seq: str):
+        from ..seqs import encode_dna
+        self.push_codes(encode_dna(seq))
+
+    def push_codes(self, codes: np.ndarray, cgs: Optional[List[int]] = None):
+        if len(self.seqs) >= 0x3FFF:
+            return
+        self.seqs.append(np.asarray(codes, np.uint8) & 3)
+        self.cigars.append(list(cgs) if cgs else [])
+        self.rdregs0.append(0)
+        self.rdregs1.append(len(codes))
+
+    @property
+    def nseq(self) -> int:
+        return len(self.seqs)
+
+    def rdlen(self, rid: int) -> int:
+        return len(self.seqs[rid])
+
+    # ------------------------------------------------- read node ingestion
+    def _add_read_core(self, rid: int):
+        g = self.g
+        seq = self.seqs[rid]
+        length = len(seq)
+        g.new_node(rid, -1, 4)
+        g.ndoffs.append(len(g.nodes))
+        for i in range(length):
+            g.new_node(rid, i, int(seq[i]))
+        g.new_node(rid, length, 4)
+        if rid == 0:
+            self.backbone = length
+            g.HEAD = g.ndoffs[rid] - 1
+            g.nodes[g.HEAD].cpos = 0
+            g.TAIL = g.ndoffs[rid] + length
+            g.nodes[g.TAIL].cpos = length
+            for i in range(length):
+                v = g.nodes[g.rdnode(0, i)]
+                v.ref = 1
+                v.bless = 1
+                v.cpos = i
+                g.connect_rdnode(0, i)
+            g.connect_rdnode(0, length)
+        else:
+            g.merge_nodes(g.HEAD, g.rdnode(rid, -1))
+            g.merge_nodes(g.TAIL, g.rdnode(rid, length))
+
+    # --------------------------------------------------------- kmer shuffle
+    def shuffle_reads_by_kmers(self):
+        nseq = self.nseq
+        if nseq == 0:
+            return
+        ksize = self.par.ksz
+        kmask = MAX_U4 >> ((16 - ksize) << 1)
+        mincnt = 1 if self.par.refmode else max(2, int(nseq * 0.05))
+        khash: Dict[int, int] = {}
+        for ridx in range(nseq):
+            seq = self.seqs[ridx]
+            kmer = 0
+            for i in range(len(seq)):
+                kmer = ((kmer << 2) | int(seq[i])) & kmask
+                if i + 1 < ksize:
+                    continue
+                val = khash.get(kmer)
+                if val is not None:
+                    if ((val >> 16) & 0x7FFF) == ridx + 1:
+                        val |= 1 << 31
+                    else:
+                        val = (val & 0x8000FFFF) | ((ridx + 1) << 16)
+                    khash[kmer] = val + 1
+                else:
+                    khash[kmer] = ((ridx + 1) << 16) | 1
+            if self.par.refmode:
+                break
+        logv = math.log(1.2)
+        kords = np.zeros(nseq, np.float32)
+        kords[0] = np.float32(3e38)
+        kidxs = [0]
+        for ridx in range(1, nseq):
+            seq = self.seqs[ridx]
+            kmer = 0
+            khit = 0
+            for i in range(len(seq)):
+                kmer = ((kmer << 2) | int(seq[i])) & kmask
+                if i + 1 < ksize:
+                    continue
+                val = khash.get(kmer)
+                if val is not None and (val & 0x80000000) == 0 \
+                        and (val & 0xFFFF) >= mincnt:
+                    khit += 1
+            if self.par.refmode:
+                kords[ridx] = np.float32(
+                    float(khit) * logv / math.log(max(len(seq), self.rdlen(0))))
+            else:
+                kords[ridx] = np.float32(float(khit) * logv / math.log(len(seq)))
+            kidxs.append(ridx)
+        c_sort_array(kidxs, lambda a, b: kords[b] > kords[a])
+        self.ords = list(kidxs)
+        shuffle_array(self.seqs, kidxs)
+        shuffle_array(self.cigars, kidxs)
+
+    def restore_rd_orders(self):
+        nseq = self.nseq
+        revs = self.ords
+        ords = [0] * nseq
+        for i in range(nseq):
+            ords[revs[i]] = i
+        shuffle_array(self.seqs, ords)
+        shuffle_array(self.g.ndoffs, ords)
+        shuffle_array(self.cigars, ords)
+        g = self.g
+        for i in range(nseq):
+            v = g.rdnode(i, -1)
+            ve = g.rdnode(i, self.rdlen(i))
+            for nidx in range(v, ve + 1):
+                g.nodes[nidx].rid = i
+
+    # ------------------------------------------------------------ alignment
+    def sel_nodes(self, nhead: int, ntail: int, ridxbeg: int, ridxend: int):
+        g = self.g
+        nhead = g.nodes[nhead].header
+        ntail = g.nodes[ntail].header
+        nseq = self.nmsa
+        rb_arr = [0x7FFFFFFF] * nseq
+        re_arr = [-1] * nseq
+        self.sels = []
+        self.states = set()
+        if nhead == ntail:
+            return 0
+        for i, nidx in enumerate((nhead, ntail)):
+            for xidx in g.ring_members(nidx):
+                x = g.nodes[xidx]
+                if ridxbeg <= x.rid < ridxend and x.rid < nseq:
+                    if i == 0:
+                        rb_arr[x.rid] = x.pos
+                    else:
+                        re_arr[x.rid] = x.pos
+        for i in range(nseq):
+            rb, re = rb_arr[i], re_arr[i]
+            if rb >= re:
+                continue
+            for j in range(rb, re + 1):
+                u = g.rdnode(i, j)
+                h = g.nodes[u].header
+                if h in self.states:
+                    continue
+                self.sels.append(h)
+                self.states.add(h)
+                v = g.nodes[h]
+                v.nct = 0
+                v.vst = 0
+        for nidx in self.sels:
+            if nidx == nhead:
+                continue
+            u = g.nodes[nidx]
+            j = 0
+            for _, e in g.iter_edges(nidx, False):
+                if e.node in self.states:
+                    j |= 1
+                    break
+            for _, e in g.iter_edges(nidx, True):
+                if e.node in self.states:
+                    j |= 2
+                    break
+            if j == 3:
+                pass
+            elif j == 1 or nidx == ntail:
+                g.chg_edge(nhead, nidx, 1)
+                self.todels.append((nhead, nidx))
+            elif j == 2:
+                g.chg_edge(nidx, ntail, 1)
+                self.todels.append((nidx, ntail))
+        for nidx in self.sels:
+            u = g.nodes[nidx]
+            bonus = 0
+            for xidx in g.ring_members(nidx):
+                bonus |= g.nodes[xidx].bless
+                if bonus:
+                    break
+            u.bonus = bonus
+            for _, e in g.iter_edges(nidx, False):
+                if e.node in self.states:
+                    g.nodes[e.node].nct += 1
+        return len(self.sels)
+
+    def prepare_rd_align(self, par: BSPOAPar, nhead: int, ntail: int,
+                         rid: int, rbeg: int, rend: int):
+        g = self.g
+        nhead = g.nodes[nhead].header
+        ntail = g.nodes[ntail].header
+        seqlen = rend - rbeg
+        self.qlen = self.slen = seqlen
+        self.qb = 0
+        self.qe = self.qlen
+        self.qseq = self.seqs[rid][rbeg:rend].copy()
+        reflen = self.backbone if par.refmode else len(self.cns)
+        tb, te = 0, reflen
+        cgs = None
+        if par.bandwidth == 0:
+            self.bandwidth = roundup(seqlen, WS)
+        else:
+            self.bandwidth = roundup(min(par.bandwidth, seqlen), WS)
+        if par.bwtrigger and nhead == g.HEAD and ntail == g.TAIL:
+            if par.refmode and self.cigars[rid]:
+                raise NotImplementedError("refmode cigars")
+            elif len(self.cns) and roundup(seqlen, WS) > par.bandwidth:
+                if par.ksz:
+                    rs, cg = OE.kmer_edit_pairwise(par.ksz, self.qseq, self.cns)
+                else:
+                    rs, cg = OE.edit_pairwise(self.qseq, self.cns,
+                                              par.alnmode, 0)
+                self.qb = rs.qb
+                self.qe = rs.qe
+                self.slen = self.qe - self.qb
+                tb = rs.tb - self.bandwidth // 4 \
+                    if rs.tb >= self.bandwidth // 2 else 0
+                te = rs.te + self.bandwidth // 4 \
+                    if len(self.cns) - rs.te >= self.bandwidth // 2 \
+                    else len(self.cns)
+                cgs = cg
+                x, y = 0, rs.tb
+            else:
+                self.bandwidth = roundup(seqlen, WS)
+        else:
+            self.bandwidth = roundup(seqlen, WS)
+        if cgs:
+            rmap = np.zeros(reflen + 1, np.int64)
+            for i in range(1, y):
+                rmap[i] = i * self.qb // (y + 1)
+            for cgv in cgs:
+                op = cgv & 0xF
+                sz = cgv >> 4
+                if op in (0, 7, 8):
+                    for _ in range(sz):
+                        rmap[y] = x
+                        y += 1
+                        x += 1
+                elif op in (1, 4):
+                    x += sz
+                elif op in (2, 3, 5):
+                    for _ in range(sz):
+                        rmap[y] = x
+                        y += 1
+            for i in range(y, reflen):
+                rmap[i] = x + (i - y + 1) * (self.slen - x) // (reflen - y + 1)
+            rmap[reflen] = self.slen
+            for nidx in self.sels:
+                u = g.nodes[nidx]
+                rpos = int(rmap[u.cpos]) - self.bandwidth // 2
+                if rpos < 0:
+                    rpos = 0
+                elif self.bandwidth >= self.slen:
+                    rpos = 0
+                elif rpos + self.bandwidth > self.slen:
+                    rpos = self.slen - self.bandwidth
+                u.rpos = rpos
+                if u.cpos == tb and tb:
+                    _, exists = g.chg_edge(nhead, nidx, 1)
+                    self.todels.append((nhead, nidx))
+                    tb = 0
+                    if exists == 0 and nhead in self.states \
+                            and nidx in self.states:
+                        u.nct += 1
+                if u.cpos == te and te != reflen:
+                    _, exists = g.chg_edge(nidx, ntail, 1)
+                    self.todels.append((g.nodes[nidx].header, ntail))
+                    te = reflen
+                    if exists == 0 and ntail in self.states \
+                            and nidx in self.states:
+                        g.nodes[ntail].nct += 1
+        else:
+            for nidx in self.sels:
+                g.nodes[nidx].rpos = 0
+        qsub = self.qseq[self.qb:self.qe]
+        mtx0 = B8.set_score_matrix(par.M, par.X)
+        mtx1 = B8.set_score_matrix(par.M + par.refbonus, par.X)
+        self.qprof[0] = B8.set_query_prof_hpc(qsub, self.slen, self.bandwidth,
+                                              mtx0, 1)
+        self.qprof[1] = B8.set_query_prof_hpc(qsub, self.slen, self.bandwidth,
+                                              mtx1, 1)
+        self.qprof[2] = B8.set_query_prof(qsub, self.slen, self.bandwidth, mtx0)
+        self.qprof[3] = B8.set_query_prof(qsub, self.slen, self.bandwidth, mtx1)
+        self.piecewise = B8.get_piecewise(par.O, par.E, par.Q, par.P,
+                                          self.bandwidth)
+        self.rows = {}
+        mmcnt = 2
+        for nidx in self.sels:
+            g.nodes[nidx].mmidx = mmcnt
+            mmcnt += 1
+        W = self.bandwidth // WS
+        init = B8.row_init(par.alnmode, self.bandwidth,
+                           par.M + par.refbonus + 1, par.X, par.O, par.E,
+                           par.Q, par.P)
+        self.rows[g.nodes[nhead].mmidx] = init
+        self.maxscr = SCORE_MIN
+        self.maxidx = -1
+        self.maxoff = -1
+
+    def _row_update(self, par: BSPOAPar, qprof, mm1: int, mm2: int, toff: int,
+                    qoff1: int, qoff2: int, base: int):
+        W = self.bandwidth // WS
+        shifted = B8.row_movx(self.rows[mm1], W, qoff2 - qoff1, self.piecewise,
+                              par.M + par.refbonus + 1, par.X, par.O, par.E,
+                              par.Q, par.P)
+        if qoff1 == qoff2:
+            if qoff1:
+                rh = SCORE_MIN
+            else:
+                if mode_type(par.alnmode) == MODE_OVERLAP or toff == 0:
+                    rh = 0
+                elif self.piecewise < 2:
+                    rh = par.O + par.E * toff
+                else:
+                    rh = max(par.O + par.E * toff, par.Q + par.P * toff)
+        elif qoff1 + W * WS >= qoff2:
+            rh = int(shifted.ubegs[0])
+        else:
+            rh = SCORE_MIN
+        cur = B8.RowState(W, self.piecewise)
+        B8.row_cal(qoff2, base, shifted, cur, qprof, par.O, par.E, par.Q,
+                   par.P, W, rh, self.piecewise)
+        self.rows[mm2] = cur
+
+    def align_rd_core(self, par: BSPOAPar, rid: int, nhead: int, ntail: int):
+        g = self.g
+        W = self.bandwidth // WS
+        for nidx in self.sels:
+            g.nodes[nidx].mpos = 0x7FFFFFFF - 1
+        stack = [nhead]
+        g.nodes[nhead].mpos = -1
+        while stack:
+            nidx = stack.pop()
+            u = g.nodes[nidx]
+            for _, e in g.iter_edges(nidx, False):
+                if e.node not in self.states:
+                    continue
+                v = g.nodes[e.node]
+                if u.mpos + 1 < v.mpos:
+                    v.mpos = u.mpos + 1
+                if e.node == ntail:
+                    urow = self.rows[u.mmidx]
+                    maxoff = min(self.slen, u.rpos + self.bandwidth) - 1
+                    smax = B8.getscore(urow, W, maxoff - u.rpos)
+                    if self.slen > maxoff + 1:
+                        if self.piecewise < 2:
+                            smax += par.O + par.E * (self.slen - maxoff - 1)
+                        else:
+                            smax += max(par.O + par.E * (self.slen - maxoff - 1),
+                                        par.Q + par.P * (self.slen - maxoff - 1))
+                    smax += par.T
+                    if smax > self.maxscr:
+                        self.maxscr = smax
+                        self.maxidx = nidx
+                        self.maxoff = maxoff
+                    if mode_type(par.alnmode) == MODE_OVERLAP:
+                        rmax, smax = B8.row_max(urow, W)
+                        if smax > self.maxscr:
+                            self.maxscr = smax
+                            self.maxidx = nidx
+                            self.maxoff = rmax + u.rpos
+                    v.vst += 1
+                else:
+                    mmidx = 1 if v.vst else v.mmidx
+                    qp = self.qprof[(int(v.base == u.base)) * 2 + v.bonus]
+                    self._row_update(par, qp, u.mmidx, mmidx, v.mpos, u.rpos,
+                                     v.rpos, v.base)
+                    if v.vst:
+                        self.rows[v.mmidx] = B8.row_merge(
+                            self.rows[1], self.rows[v.mmidx], W, self.piecewise)
+                    v.vst += 1
+                    if v.vst == v.nct:
+                        if mode_type(par.alnmode) != MODE_GLOBAL \
+                                and v.rpos + self.bandwidth >= self.slen:
+                            vrow = self.rows[v.mmidx]
+                            smax = B8.getscore(vrow, W,
+                                               self.slen - 1 - v.rpos) + par.T
+                            if smax > self.maxscr:
+                                self.maxscr = smax
+                                self.maxidx = e.node
+                                self.maxoff = self.slen - 1
+                        stack.append(e.node)
+        return self.maxscr
+
+    def alignment2graph(self, par: BSPOAPar, rid: int, rbeg: int, nhead: int,
+                        ntail: int, midx: int, xe: int) -> AlnResult:
+        g = self.g
+        W = self.bandwidth // WS
+        BT_M, BT_I, BT_D, BT_D2 = 0, 1, 2, 4
+        for i in range(self.qlen):
+            g.nodes[g.rdnode(rid, i)].cpos = 0
+        rs = AlnResult()
+        rs.qe = xe + 1
+        rs.qb = x = xe
+        nidx = midx
+        bt = None
+        n = g.nodes[nidx]
+        rs.te = n.cpos + 1
+        cpos = n.cpos
+        row = self.rows[n.mmidx]
+        Hs1 = B8.getscore(row, W, x - n.rpos)
+        Hs0 = 0
+        Hs2 = 0
+        cur_n = nidx
+        while True:
+            n = g.nodes[cur_n]
+            if n.header == nhead or x < 0:
+                rs.qb = x
+                rs.tb = n.cpos
+                break
+            if bt in (BT_D, BT_D2):
+                rs.dele += 1
+                found = False
+                for _, e in g.iter_edges(cur_n, True):
+                    if e.node not in self.states:
+                        continue
+                    w = g.nodes[e.node]
+                    if x < w.rpos or x >= w.rpos + self.bandwidth:
+                        continue
+                    wrow = self.rows[w.mmidx]
+                    Hs0 = B8.getscore(wrow, W, x - w.rpos)
+                    xi = x - w.rpos
+                    if bt == BT_D:
+                        q = int(wrow.es[xi % W, xi // W]) if self.piecewise \
+                            else par.O + par.E
+                    else:
+                        q = int(wrow.qs[xi % W, xi // W])
+                    if Hs0 + q != Hs1:
+                        continue
+                    cur_n = e.node
+                    if q == (par.O + par.E if bt == BT_D else par.Q + par.P):
+                        bt = None
+                        Hs1 = Hs0
+                        Hs2 = 0
+                    else:
+                        Hs1 -= par.E if bt == BT_D else par.P
+                        Hs2 += 1
+                    found = True
+                    break
+                if not found:
+                    raise RuntimeError("D-traceback lost")
+                continue
+            elif bt == BT_I:
+                rs.ins += 1
+                if self.piecewise == 2:
+                    t = max(par.O + par.E * Hs2, par.Q + par.P * Hs2)
+                else:
+                    t = par.O + par.E * Hs2
+                x -= 1
+                if Hs0 + t == Hs1:
+                    bt = None
+                    Hs1 = Hs0
+                    Hs2 = 0
+                elif x >= 0:
+                    nrow = self.rows[n.mmidx]
+                    xi = x - n.rpos
+                    Hs0 -= int(nrow.us[xi % W, xi // W])
+                    Hs2 += 1
+                continue
+            elif bt == BT_M:
+                u_idx = g.rdnode(rid, rbeg + self.qb + x)
+                u = g.nodes[u_idx]
+                u.cpos = n.cpos
+                x -= 1
+                if cur_n != nhead and cur_n != ntail and u.base == n.base:
+                    g.merge_nodes(cur_n, u_idx)
+                    rs.mat += 1
+                else:
+                    rs.mis += 1
+                cur_n = nidx
+                bt = None
+            else:
+                # choose predecessor by score identity + max edge cov
+                btc = 0
+                bti = None
+                cand = []
+                for _, e in g.iter_edges(cur_n, True):
+                    if e.node not in self.states:
+                        continue
+                    w = g.nodes[e.node]
+                    wrow = self.rows[w.mmidx]
+                    ft = 0
+                    if x < w.rpos or x > self.bandwidth + w.rpos:
+                        continue
+                    elif x == self.bandwidth + w.rpos:
+                        Hs0 = B8.getscore(wrow, W, x - w.rpos - 1)
+                        ft |= (1 << BT_D) | (1 << BT_D2)
+                    elif x == w.rpos:
+                        Hs0 = int(wrow.ubegs[0])
+                        if w.rpos == 0 and (
+                                mode_type(par.alnmode) == MODE_OVERLAP
+                                or e.node == nhead):
+                            ft |= 1 << 15
+                        else:
+                            ft |= 1 << BT_M
+                    else:
+                        Hs0 = B8.getscore(wrow, W, x - w.rpos - 1)
+                    qp = self.qprof[(int(w.base == n.base)) * 2 + n.bonus]
+                    s = int(qp[x, n.base, 0])
+                    if ft & (1 << 15):
+                        s -= int(wrow.ubegs[0])
+                    xi = x - w.rpos
+                    si, sj = xi % W, xi // W
+                    if 0 <= xi < self.bandwidth:
+                        uval = int(wrow.us[si, sj])
+                        eval_ = int(wrow.es[si, sj]) if wrow.es is not None \
+                            else par.E
+                        qval = int(wrow.qs[si, sj]) if wrow.qs is not None \
+                            else None
+                    else:
+                        uval, eval_, qval = 0, par.E, None
+                    scr0 = SCORE_MIN if (ft & (1 << BT_M)) else s
+                    scr1 = SCORE_MIN if (ft & (1 << BT_D)) else uval + eval_
+                    if ft & (1 << BT_D2):
+                        scr2 = SCORE_MIN
+                    else:
+                        scr2 = (uval + qval) if qval is not None \
+                            else 0x1FFFFFFF  # SEQALIGN_SCORE_MAX
+                    cand.append((e.node, Hs0, (scr0, scr1, scr2)))
+                    for i3 in range(3):
+                        if Hs0 + (scr0, scr1, scr2)[i3] == Hs1:
+                            if e.cov > btc:
+                                bti = (len(cand) - 1, i3, Hs0)
+                                btc = e.cov
+                            elif e.cov == btc and i3 == 0 and bti is not None \
+                                    and bti[1] != 0:
+                                bti = (len(cand) - 1, i3, Hs0)
+                                btc = e.cov
+                if bti is None:
+                    bt = BT_I
+                    Hs2 = 1
+                    nrow = self.rows[n.mmidx]
+                    xi = x - n.rpos
+                    Hs0 = Hs1 - int(nrow.us[xi % W, xi // W])
+                else:
+                    ci, i3, h0v = bti
+                    if i3 == 0:
+                        bt = BT_M
+                        nidx = cand[ci][0]
+                        Hs1 = h0v
+                        Hs2 = 0
+                    elif i3 == 1:
+                        bt = BT_D
+                        Hs2 = 1
+                    else:
+                        bt = BT_D2
+                        Hs2 = 1
+        rs.qb += self.qb
+        rs.qe += self.qb
+        g.connect_rdnode(rid, rbeg + self.qlen)
+        cpos_run = cpos
+        for xx in range(self.qlen - 1, -1, -1):
+            g.connect_rdnode(rid, rbeg + xx)
+            v = g.nodes[g.rdnode(rid, xx + rbeg)]
+            if v.cpos:
+                cpos_run = v.cpos
+            else:
+                v.cpos = cpos_run
+        return rs
+
+    def align_rd(self, par: BSPOAPar, realn: int, rid: int, rbeg: int,
+                 rlen: int) -> AlnResult:
+        g = self.g
+        if realn and rid:
+            for i in range(rbeg, rbeg + rlen):
+                g.cut_rdnode(rid, i, 3)
+        self.todels = []
+        if rlen == 0:
+            return AlnResult()
+        nhead = g.nodes[g.rdnode(rid, rbeg - 1)].header
+        ntail = g.nodes[g.rdnode(rid, rbeg + rlen)].header
+        if realn == 0 and par.nrec:
+            ridxbeg = max(0, rid - par.nrec - 1)
+            ridxend = rid
+        else:
+            ridxbeg = 0
+            ridxend = 0xFFFF
+        self.sel_nodes(nhead, ntail, ridxbeg, ridxend)
+        self.prepare_rd_align(par, nhead, ntail, rid, rbeg, rbeg + rlen)
+        score = self.align_rd_core(par, rid, nhead, ntail)
+        rs = self.alignment2graph(par, rid, rbeg, nhead, ntail, self.maxidx,
+                                  self.maxoff)
+        rs.qb += self.qb
+        rs.qe += self.qb
+        rs.score = score
+        for a, b in self.todels:
+            g.chg_edge(a, b, -1)
+        self.todels = []
+        return rs
+
+    # --------------------------------------------------- MSA extraction
+    def sort_nodes(self) -> int:
+        """Reverse-topological longest-path column assignment
+        (bspoa.h:2695-2946)."""
+        g = self.g
+        mrow = self.nseq + 3
+        for u in g.nodes:
+            u.vst = 0
+            u.nct = u.nou
+            u.inuse = 0
+            u.mpos = 0
+        stack = [g.TAIL]
+        nidx = g.TAIL
+        while stack:
+            nidx = stack.pop()
+            u = g.nodes[nidx]
+            for _, e in g.iter_edges(nidx, True):
+                v = g.nodes[e.node]
+                if u.mpos + 1 > v.mpos:
+                    v.mpos = u.mpos + 1
+                v.vst += 1
+                if v.vst > v.nct:
+                    raise RuntimeError("sort_nodes overflow")
+            for _, e in g.iter_edges(nidx, True):
+                v = g.nodes[e.node]
+                if v.inuse:
+                    continue
+                if v.vst == v.nct:
+                    ready = True
+                    moff = v.mpos
+                    xidx = v.next
+                    while xidx != e.node:
+                        x = g.nodes[xidx]
+                        if x.nct > x.vst:
+                            ready = False
+                            break
+                        if x.mpos > moff:
+                            moff = x.mpos
+                        xidx = x.next
+                    if ready:
+                        v.mpos = moff
+                        v.inuse = 1
+                        stack.append(e.node)
+                        xidx = v.next
+                        while xidx != e.node:
+                            x = g.nodes[xidx]
+                            x.mpos = moff
+                            if x.edge:
+                                stack.append(xidx)
+                                x.inuse = 1
+                            xidx = x.next
+        if nidx != g.HEAD:
+            raise RuntimeError("sort_nodes did not reach HEAD")
+        # tail-chain compaction (bspoa.h:2861-2917)
+        for _, e in g.iter_edges(g.TAIL, True):
+            if e.node == g.HEAD:
+                continue
+            x_idx = g.TAIL
+            v_idx = e.node
+            while True:
+                v = g.nodes[v_idx]
+                nou = 0
+                xidx = v.edge
+                while xidx:
+                    en = g.edges[xidx].node
+                    if en != x_idx and en != g.TAIL:
+                        nou += 1
+                    xidx = g.edges[xidx].next
+                if nou:
+                    break
+                if v.nin != 1:
+                    break
+                x_idx = v_idx
+                v_idx = g.edges[g.nodes[v_idx].erev].node
+            if x_idx == g.TAIL:
+                continue
+            moff = g.nodes[v_idx].mpos - 1
+            v_idx = x_idx
+            if g.nodes[v_idx].mpos == moff:
+                continue
+            while v_idx != g.TAIL:
+                v = g.nodes[v_idx]
+                xidx = v.next
+                while True:
+                    x = g.nodes[xidx]
+                    x.mpos = moff
+                    xidx = x.next
+                    if x is v:
+                        break
+                moff -= 1
+                nxt = None
+                xidx = v.edge
+                while xidx:
+                    en = g.edges[xidx].node
+                    if en != g.TAIL:
+                        if nxt is not None:
+                            raise RuntimeError("tail chain fork")
+                        nxt = en
+                    xidx = g.edges[xidx].next
+                if nxt is None:
+                    break
+                v_idx = nxt
+        mlen = g.nodes[g.HEAD].mpos
+        self.msaidxs = list(range(mlen))
+        self.msacols = np.full((mlen, mrow), 4, np.uint8)
+        for u in g.nodes:
+            u.vst = 0
+            u.mpos = mlen - 1 - u.mpos
+        return mlen
+
+    def msa(self) -> int:
+        """Fill the column-major base matrix (bspoa.h:3156-3248)."""
+        g = self.g
+        nseq = self.nrds
+        self.sort_nodes()
+        mlen = len(self.msaidxs)
+        for u in g.nodes:
+            u.vst = 0
+            u.nct = u.nin
+        stack = [g.HEAD]
+        nidx = g.HEAD
+        while stack:
+            nidx = stack.pop()
+            for _, e in g.iter_edges(nidx, False):
+                v = g.nodes[e.node]
+                v.vst += 1
+                if v.vst == v.nct:
+                    ready = True
+                    xidx = v.next
+                    while xidx != e.node:
+                        x = g.nodes[xidx]
+                        if x.vst < x.nct:
+                            ready = False
+                            break
+                        xidx = x.next
+                    if ready:
+                        xidx = e.node
+                        while True:
+                            x = g.nodes[xidx]
+                            if 0 <= x.mpos < mlen and x.rid < self.msacols.shape[1]:
+                                self.msacols[self.msaidxs[x.mpos], x.rid] = x.base
+                            if x.erev:
+                                stack.append(xidx)
+                            xidx = x.next
+                            if xidx == e.node:
+                                break
+                elif v.vst > v.nct:
+                    raise RuntimeError("msa fill overflow")
+        self._mask_lead_tail_gaps(nseq)
+        if nidx != g.TAIL:
+            raise RuntimeError("msa fill did not reach TAIL")
+        return mlen
+
+    def _mask_lead_tail_gaps(self, nseq):
+        mlen = len(self.msaidxs)
+        for rid in range(nseq):
+            for pos in range(mlen):
+                col = self.msacols[self.msaidxs[pos]]
+                if col[rid] < 4:
+                    break
+                elif col[rid] == 4:
+                    col[rid] = 5
+            for pos in range(mlen - 1, 0, -1):
+                col = self.msacols[self.msaidxs[pos]]
+                if col[rid] < 4:
+                    break
+                elif col[rid] == 4:
+                    col[rid] = 5
+
+    # ------------------------------------------------------------ consensus
+    def simple_cns(self):
+        """Majority vote (bspoa.h:3312-3388)."""
+        g = self.g
+        nseq = self.nrds
+        nall = nseq if self.nseq == 0 else self.nseq
+        mlen = len(self.msaidxs)
+        if mlen == 0:
+            return
+        self.cns = []
+        self.qlt = []
+        self.alt = []
+        self._mask_lead_tail_gaps(nseq)
+        for pos in range(mlen):
+            col = self.msacols[self.msaidxs[pos]]
+            bcnts = [0] * 7
+            brank = [0xFFFF] * 7
+            for rid in range(nseq):
+                b = col[rid]
+                bcnts[b] += 1
+                if brank[b] == 0xFFFF:
+                    brank[b] = rid
+            b = 4
+            for i in range(4):
+                if bcnts[i] > bcnts[b]:
+                    b = i
+                elif bcnts[i] and bcnts[i] == bcnts[b]:
+                    if brank[i] < brank[b] or b == 4:
+                        b = i
+            col[nall] = b
+            col[nall + 1] = 0
+            if b < 4:
+                self.cns.append(b)
+                self.qlt.append(0)
+                self.alt.append(0)
+        self.cns = np.array(self.cns, np.uint8)
+        self.qlt = np.array(self.qlt, np.uint8)
+        self.alt = np.array(self.alt, np.uint8)
+        for rid in range(nseq):
+            cpos = 0
+            vi = g.ndoffs[rid]
+            for pos in range(mlen):
+                col = self.msacols[self.msaidxs[pos]]
+                if col[rid] != 4 and col[rid] != 5:
+                    g.nodes[vi].cpos = cpos
+                    vi += 1
+                if col[nall] < 4:
+                    cpos += 1
+        g.nodes[g.HEAD].cpos = 0
+        g.nodes[g.TAIL].cpos = len(self.cns)
+
+    def cns_call(self) -> float:
+        """5-state HMM consensus + QLT/ALT qualities (bspoa.h:3457-3733)."""
+        g = self.g
+        min_freq_calq = 0.1
+        nseq = min(self.nmsa, self.nrds)
+        nmax = self.nrds
+        nall = nseq if self.nseq == 0 else self.nseq
+        mlen = len(self.msaidxs)
+        log10 = math.log(10)
+        # dps[a][pos]: sc[6], bt, lb
+        sc = np.zeros((5, mlen + 1, 6), np.float64)
+        btm = np.zeros((5, mlen + 1), np.uint8)
+        lbm = np.zeros((5, mlen + 1), np.uint8)
+        for a in range(5):
+            sc[a, 0, :5] = 0.0
+            sc[a, 0, 5] = 0.0 if a == 4 else MIN_LOGVAL
+            btm[a, 0] = 4
+            lbm[a, 0] = 4
+        bs = np.zeros((10, nseq), np.uint8)
+        dptable = self.dptable
+        dpvals = self.dpvals
+        cols = [self.msacols[self.msaidxs[p]] for p in range(mlen)]
+        for pos in range(mlen):
+            qs = cols[pos]
+            cnts = [0] * 6
+            rbs = []
+            for rid in range(nseq):
+                b = int(qs[rid])
+                if b > 4:
+                    continue
+                cnts[5] += 1
+                cnts[b] += 1
+                rbs.append((rid, b))
+            for i in range(5):
+                if cnts[i] < int(min_freq_calq * cnts[5]):
+                    cnts[i] = 0
+            dpos = pos + 1
+            errs = [0.0] * 10
+            for a in range(5):
+                if cnts[5] and cnts[a] == 0:
+                    sc[a, dpos, :] = MIN_LOGVAL
+                    btm[a, dpos] = 4
+                    lbm[a, dpos] = 4
+                    bs[a + 5, :] = 0
+                    continue
+                for e in range(5):
+                    c = int(lbm[e, dpos - 1])
+                    if cnts[5] and sc[e, dpos - 1, 5] == MIN_LOGVAL:
+                        sc[a, dpos, e] = MIN_LOGVAL
+                        errs[e] = MIN_LOGVAL
+                    else:
+                        tot = 0.0
+                        base_i = a + c * 25
+                        for rid, b in rbs:
+                            d = int(bs[e, rid])
+                            tot += dpvals[dptable[base_i + b * 5 + d * 125] >> 3]
+                        sc[a, dpos, e] = tot
+                        errs[e] = tot + sc[e, dpos - 1, 5]
+                    errs[e + 5] = errs[e]
+                sc[a, dpos, 5] = sum_log_nums(errs[5:10])
+                bt = 4
+                for e in range(4):
+                    if errs[e] > errs[bt]:
+                        bt = e
+                btm[a, dpos] = bt
+                lb_prev = int(lbm[bt, dpos - 1])
+                lbm[a, dpos] = a if a < 4 else lb_prev
+                for rid in range(nseq):
+                    b = int(qs[rid])
+                    if b > 4:
+                        bs[a + 5, rid] = 4
+                        continue
+                    f = dptable[a + b * 5 + lb_prev * 25 + int(bs[bt, rid]) * 125]
+                    bs[a + 5, rid] = f & 0x7
+            bs[0:5] = bs[5:10]
+        pos = mlen - 1
+        c = 4
+        for a in range(4):
+            if sc[a, pos + 1, 5] > sc[c, pos + 1, 5]:
+                c = a
+        ret = float(sc[c, pos + 1, 5])
+        cns, qlt, alt = [], [], []
+        # backtrace cns states
+        while True:
+            cols[pos][nall] = c
+            c = int(btm[c, pos + 1])
+            if pos == 0:
+                break
+            pos -= 1
+        lc = 4
+        for pos in range(mlen):
+            qs = cols[pos]
+            c = int(qs[nall])
+            errs = [float(sc[a, pos + 1, 5]) for a in range(5)]
+            erre = sum_log_nums(errs)
+            errd = float(sc[c, pos + 1, 5])
+            erre = c_log(1 - math.exp(errd - erre))
+            if c < 4:
+                lc = c
+            erre = -(10 * erre / log10)
+            qs[nall + 1] = int(min(erre, QLT_MAX))
+            cnts = [0] * 6
+            for rid in range(nmax):
+                b = int(qs[rid])
+                if b > 4:
+                    continue
+                cnts[5] += 1
+                cnts[b] += 1
+            a = (c + 1) % 5
+            for e in range(5):
+                if e == c:
+                    continue
+                if cnts[e] > cnts[a]:
+                    a = e
+            p = self.par.psub
+            erre2 = 0.0
+            if cnts[5] > 50 and cnts[5] * p > 5 and cnts[5] * (1 - p) > 5:
+                erre2 = cal_normal_cdf(
+                    (cnts[a] - cnts[5] * p) / math.sqrt(cnts[5] * p * (1 - p)))
+            else:
+                for e in range(cnts[a]):
+                    erre2 += math.exp(cal_binomial(cnts[5], e, p))
+            if erre2 == 0:
+                errd2 = 0.0
+            else:
+                errd2 = -(10 * c_log(1 - erre2) / log10)
+            qs[nall + 2] = int(min(errd2, QLT_MAX))
+            if qs[nall] < 4:
+                cns.append(int(qs[nall]))
+                qlt.append(int(qs[nall + 1]))
+                alt.append(int(qs[nall + 2]))
+        self.cns = np.array(cns, np.uint8)
+        self.qlt = np.array(qlt, np.uint8)
+        self.alt = np.array(alt, np.uint8)
+        if g.nodes:
+            for rid in range(min(nall, len(g.ndoffs))):
+                cpos = 0
+                vi = g.ndoffs[rid]
+                for pos in range(mlen):
+                    col = self.msacols[self.msaidxs[pos]]
+                    if col[rid] < 4:
+                        g.nodes[vi].cpos = cpos
+                        vi += 1
+                    if col[nall] < 4:
+                        cpos += 1
+            g.nodes[g.HEAD].cpos = 0
+            g.nodes[g.TAIL].cpos = len(self.cns)
+        return ret
+
+    # ----------------------------------------------- MSA helper nodes
+    def add_msanodes(self, rps: Optional[List[int]] = None):
+        """Add cns-as-read + 4 per-base rail reads (bspoa.h:3068-3154)."""
+        g = self.g
+        if len(g.ndoffs) > self.nseq:
+            self.del_msanodes()
+        nseq = self.nrds
+        nall = nseq if self.nseq == 0 else self.nseq
+        mlen = len(self.msaidxs)
+        clen = 0
+        rps = [0] * nseq
+        u = g.new_node(nall, -1, 4)
+        g.merge_nodes(u, g.HEAD)
+        g.ndoffs.append(len(g.nodes))
+        for pos in range(mlen):
+            col = self.msacols[self.msaidxs[pos]]
+            if col[nall] < 4:
+                u = g.new_node(nall, clen, int(col[nall]))
+                clen += 1
+                for rid in range(nseq):
+                    if col[rid] == col[nall]:
+                        v = g.rdnode(rid, rps[rid])
+                        g.merge_nodes(u, v)
+                        g.nodes[u].mpos = pos
+                        break
+                else:
+                    raise RuntimeError("cns base unmatched")
+            for rid in range(nseq):
+                if col[rid] < 4:
+                    rps[rid] += 1
+        u = g.new_node(nall, clen, 4)
+        g.merge_nodes(u, g.TAIL)
+        for i in range(clen + 1):
+            g.connect_rdnode(nall, i)
+        self.rdregs0.append(0)
+        self.rdregs1.append(clen)
+        for i in range(4):
+            u = g.new_node(nall + 1 + i, -1, i)
+            g.merge_nodes(u, g.HEAD)
+            g.ndoffs.append(len(g.nodes))
+            for pos in range(mlen):
+                u = g.new_node(nall + 1 + i, pos, i)
+                g.nodes[u].mpos = pos
+            u = g.new_node(nall + 1 + i, mlen, i)
+            g.merge_nodes(u, g.TAIL)
+            self.rdregs0.append(0)
+            self.rdregs1.append(mlen)
+        rps = [0] * nseq
+        for pos in range(mlen):
+            col = self.msacols[self.msaidxs[pos]]
+            for rid in range(nseq):
+                if col[rid] < 4:
+                    u = g.rdnode(rid, rps[rid])
+                    v = g.rdnode(nall + 1 + g.nodes[u].base, pos)
+                    if g.nodes[u].header != g.nodes[v].header:
+                        g.merge_nodes(u, v)
+                    rps[rid] += 1
+
+    def del_msanodes(self):
+        g = self.g
+        nseq = self.nseq
+        if len(g.ndoffs) < nseq + 5:
+            return
+        for j in range(4, -1, -1):
+            clen = len(g.nodes) - g.ndoffs[nseq + j] - 1
+            for i in range(-1, clen + 1):
+                g.cut_rdnode(nseq + j, i, 3)
+            del g.nodes[g.ndoffs[nseq + j] - 1:]
+            del g.ndoffs[nseq + j:]
+            del self.rdregs0[nseq + j:]
+            del self.rdregs1[nseq + j:]
+
+    # ------------------------------------------------ profile realignment
+    def _hp_adjust(self, mlen, nall, get_cnt, set_cnt, add_cnt, cap255):
+        """Homopolymer count re-attribution (bspoa.h:4239-4319 / 4588-4671)."""
+        # adjust [cns=4] minor bases to right-side identical cns
+        cols = [self.msacols[self.msaidxs[p]] for p in range(mlen)]
+        cnsrow = [int(cols[p][nall]) for p in range(mlen)]
+        for pos in range(mlen):
+            lc = cnsrow[pos]
+            if lc < 4:
+                for i in range(pos, 0, -1):
+                    if cnsrow[i - 1] < 4:
+                        break
+                    ci = get_cnt(lc, i - 1)
+                    if ci and ((not cap255) or ci + get_cnt(lc, pos) <= 255):
+                        set_cnt(lc, pos, get_cnt(lc, pos) + ci)
+                        set_cnt(lc, i - 1, 0)
+        # adjust bases and counts within a cns-homopolymer
+        lc = 4
+        mc = 0
+        cnts = [0, 0, 0, 0]
+        stack: List[int] = []
+        lpos = 0
+        col = None
+        for pos in range(mlen + 1):
+            flush = False
+            if pos == mlen:
+                flush = True
+            else:
+                col = cnsrow[pos]
+                if col < 4 and col != lc:
+                    flush = True
+            if flush and stack:
+                c_sort_array(stack, lambda a, b: (a & 7) > (b & 7))
+                i = p = 0
+                n = len(stack)
+                while i <= n:
+                    if i < n and (stack[i] & 7) == (stack[p] & 7):
+                        i += 1
+                        continue
+                    pb_base = stack[p] & 7
+                    cc = cnts[pb_base] if pb_base < 4 else 0
+                    if pb_base == lc:
+                        seg = stack[p:i]
+                        c_sort_array(seg, lambda a, b:
+                                     (((b >> 3) & 1), -((b >> 4) & 0xFFF))
+                                     > (((a >> 3) & 1), -((a >> 4) & 0xFFF)))
+                        stack[p:i] = seg
+                        j = p
+                        while cc and j < i:
+                            pb = stack[j]
+                            if ((pb >> 3) & 1) == 0:
+                                break
+                            bc = min(cc, mc)
+                            set_cnt(pb & 7, lpos + ((pb >> 4) & 0xFFF), bc)
+                            cc -= bc
+                            j += 1
+                        while p < j:
+                            pb = stack[p]
+                            add_cnt(pb & 7, lpos + ((pb >> 4) & 0xFFF), j - p,
+                                    cap255)
+                            p += 1
+                        p = j
+                        seg = stack[p:i]
+                        c_sort_array(seg, lambda a, b:
+                                     (b >> 16) > (a >> 16))
+                        stack[p:i] = seg
+                        j = p
+                        while cc and j < i:
+                            pb = stack[j]
+                            bc = min(cc, mc)
+                            set_cnt(pb & 7, lpos + ((pb >> 4) & 0xFFF), bc)
+                            cc -= bc
+                            j += 1
+                    else:
+                        seg = stack[p:i]
+                        c_sort_array(seg, lambda a, b: (b >> 16) > (a >> 16))
+                        stack[p:i] = seg
+                        j = p
+                        while cc and j < i:
+                            pb = stack[j]
+                            bc = min(cc, mc)
+                            set_cnt(pb & 7, lpos + ((pb >> 4) & 0xFFF), bc)
+                            cc -= bc
+                            j += 1
+                    p = i
+                    i += 1
+            if pos == mlen:
+                break
+            if cnsrow[pos] < 4 and cnsrow[pos] != lc:
+                lc = cnsrow[pos]
+                mc = 0
+                cnts = [0, 0, 0, 0]
+                lpos = pos
+                stack = []
+            for i in range(4):
+                ci = get_cnt(i, pos)
+                if ci:
+                    if ci > mc:
+                        mc = ci
+                    cnts[i] += ci
+                    pb = (i & 7) | ((1 if i == cnsrow[pos] else 0) << 3) \
+                        | (((pos - lpos) & 0xFFF) << 4) | ((ci & 0xFFFF) << 16)
+                    stack.append(pb)
+                    set_cnt(i, pos, 0)
+
+    def remsa_pedits(self, bandwidth: int, hpadjust: int, all_: int):
+        """Anti-diagonal max-match realignment vs the column profile
+        (bspoa.h:4178-4457). Unsigned-8-bit saturating DP."""
+        g = self.g
+        nseq = self.nrds
+        nall = nseq if self.nseq == 0 else self.nseq
+        mrow = nall + 3
+        mlen = len(self.msaidxs)
+        if nseq >= 255:
+            return
+        bandwidth = roundup(bandwidth, WS)
+        W = bandwidth // WS
+        HW = bandwidth // 2
+        self.add_msanodes()
+        pad = mlen + bandwidth
+        rowlen = bandwidth + 2
+        seqs0 = np.full(pad, 0, np.uint8)
+        seqs1 = np.zeros(pad, np.uint8)
+        matrix0 = np.zeros((2 * mlen + 1) * rowlen, np.uint8)
+        matrix1 = np.zeros((2 * mlen + 1) * rowlen, np.uint8)
+        mats0 = np.zeros((4, pad), np.uint8)
+        mats1 = np.zeros((4, pad), np.int64)  # counts; stored u1i in C
+        # base offsets: logical index i maps to buffer [HW + i]
+        for pos in range(mlen):
+            col = self.msacols[self.msaidxs[pos]]
+            seqs1[HW + mlen - 1 - pos] = col[nall]
+            for rid in range(nseq):
+                if col[rid] < 4:
+                    mats1[col[rid], HW + pos] += 1
+        np.minimum(mats1, 255, out=mats1)  # u1i semantics (counts < nseq < 255)
+        if hpadjust:
+            def get_cnt(b, p):
+                return int(mats1[b, HW + p])
+
+            def set_cnt(b, p, v):
+                mats1[b, HW + p] = v
+
+            def add_cnt(b, p, d, cap):
+                if d + int(mats1[b, HW + p]) <= 255:
+                    mats1[b, HW + p] += d
+            self._hp_adjust(mlen, nall, get_cnt, set_cnt, add_cnt, True)
+        # reverse mats1 over [0, mlen)
+        mats1[:, HW:HW + mlen] = mats1[:, HW:HW + mlen][:, ::-1]
+        mats1 = mats1.astype(np.uint8)
+
+        for rid in range(self.nseq):
+            rdlen = self.rdlen(rid)
+            if rdlen == 0:
+                continue
+            seqs0[:] = 4
+            mats0[:, :] = 0
+            if rid >= nseq:
+                if not all_:
+                    break
+                self.qlen = self.slen = rdlen
+                self.qb = 0
+                self.qe = rdlen
+                qseq = self.seqs[rid]
+                if self.par.ksz:
+                    rs, cg = OE.kmer_edit_pairwise(self.par.ksz, qseq, self.cns)
+                else:
+                    rs, cg = OE.edit_pairwise(qseq, self.cns,
+                                              self.par.alnmode, 0)
+                self.qb, self.qe = rs.qb, rs.qe
+                self.slen = self.qe - self.qb
+                for i in range(rdlen):
+                    g.nodes[g.rdnode(rid, i)].mpos = 0
+                x, y = rs.qb, rs.tb
+                from ..cigar import iter_cigar_ops
+                for op in iter_cigar_ops(cg):
+                    if op in (0, 7, 8):
+                        u = g.nodes[g.rdnode(self.nseq, y)]
+                        g.nodes[g.rdnode(rid, x)].mpos = u.mpos
+                        x += 1
+                        y += 1
+                    elif op in (1, 4):
+                        x += 1
+                    else:
+                        y += 1
+                # revise leading (bspoa.h:4399-4427)
+                y = -1
+                x = rs.qb
+                while x < rs.qe:
+                    v = g.nodes[g.rdnode(rid, x)]
+                    if v.mpos:
+                        y = v.mpos
+                        break
+                    x += 1
+                z = x
+                while z >= rs.qb:
+                    v = g.nodes[g.rdnode(rid, z)]
+                    if y + z - x < 0:
+                        break
+                    v.mpos = y + z - x
+                    z -= 1
+                z += 1
+                qb = z
+                while x < rs.qe:
+                    v = g.nodes[g.rdnode(rid, x)]
+                    if v.mpos == 0:
+                        v.mpos = y
+                        y += 1
+                    elif v.mpos < y:
+                        v.mpos = y
+                        y += 1
+                    else:
+                        y = v.mpos + 1
+                    if y >= mlen:
+                        break
+                    x += 1
+                qe = x
+            else:
+                qb, qe = 0, rdlen
+            lc = 4
+            cc = 0
+            for i in range(qe, qb, -1):
+                vi = g.cut_rdnode(rid, i - 1, 3)
+                v = g.nodes[vi]
+                seqs0[HW + v.mpos] = v.base
+                if v.base == lc:
+                    if cc < 255:
+                        cc += 1
+                    mats0[v.base, HW + v.mpos] = cc
+                else:
+                    lc = v.base
+                    cc = 0
+            mbeg = g.nodes[g.rdnode(rid, qb)].mpos
+            mend = g.nodes[g.rdnode(rid, qe - 1)].mpos + 1
+            self._pedit_rd(rid, qb, qe, matrix0, matrix1, seqs0, seqs1, mats0,
+                           mats1, mlen, mbeg, mend, bandwidth, HW, rowlen)
+            for i in range(rdlen + 1):
+                g.connect_rdnode(rid, i)
+        self.del_msanodes()
+        if all_:
+            self.nrds = self.nseq
+
+    def _pedit_rd(self, rid, qb, qe, matrix0, matrix1, seqs0, seqs1, mats0,
+                  mats1, mlen, mbeg, mend, bw, HW, rowlen):
+        """remsa_pedit_rd_bspoacore (bspoa.h:3916-4045)."""
+        g = self.g
+
+        def prepare(x, y):
+            moff = x + y
+            mdir = moff & 1
+            midx = (x - y - mdir) // 2 + HW
+            xb = x - midx
+            yb = mlen - 1 - (y + midx)
+            return moff, mdir, midx, xb, yb
+
+        def sel_counts(bases, mats, off):
+            # out[i] = mats[bases[i]][off+i] if bases[i] in 0..3 else 0
+            out = np.zeros(bw, np.uint8)
+            seg = mats[:, HW + off:HW + off + bw]
+            for v in range(4):
+                m = bases == v
+                out[m] = seg[v][m]
+            return out
+
+        # init (bspoa.h:3748-3758)
+        idx0 = (mbeg + mbeg) * rowlen
+        matrix0[idx0:idx0 + rowlen] = 0
+        matrix1[idx0:idx0 + rowlen] = 0
+        matrix0[idx0 + 1 + HW - 1] = 255
+        matrix1[idx0 + 1 + HW] = 255
+        x = y = mbeg
+        while True:
+            moff, mdir, midx, xb, yb = prepare(x, y)
+            dirn = (x + y) & 1
+            p0 = matrix0[rowlen * moff:rowlen * (moff + 1)]
+            p1 = matrix1[rowlen * moff:rowlen * (moff + 1)]
+            c0 = matrix0[rowlen * (moff + 1):rowlen * (moff + 2)]
+            c1 = matrix1[rowlen * (moff + 1):rowlen * (moff + 2)]
+            scns = seqs1[HW + yb:HW + yb + bw]
+            sread = seqs0[HW + xb:HW + xb + bw]
+            xs = sel_counts(scns, mats0, xb)
+            ys = sel_counts(sread, mats1, yb)
+            h = np.minimum(xs.astype(np.int32) + ys.astype(np.int32), 255
+                           ).astype(np.uint8)
+            if dirn:
+                u = p0[2:2 + bw]
+                v = p1[1:1 + bw]
+            else:
+                u = p0[1:1 + bw]
+                v = p1[0:0 + bw]
+            h = np.maximum(h, u)
+            h = np.maximum(h, v)
+            c0[1:1 + bw] = h - v  # subs_epu8: h >= v always
+            c1[1:1 + bw] = h - u
+            if dirn:
+                c0[0] = 255
+                c1[0] = 0
+                c0[1 + bw] = 0
+                c1[1 + bw] = 0
+            else:
+                c0[0] = 0
+                c1[0] = 0
+                c0[1 + bw] = 0
+                c1[1 + bw] = 255
+            if dirn:
+                y += 1
+            else:
+                x += 1
+            if x >= mend:
+                break
+        # traceback (bspoa.h:3962-4037)
+        scr = 0
+        xi = yi = mend - 1
+        roff = qe
+        while xi >= 0 and yi >= 0:
+            i = xi + yi
+            if i < mbeg + mbeg:
+                break
+            dirn = i & 1
+            moff, mdir, midx, xb, yb = prepare(xi, yi)
+            xx = midx
+            p0 = matrix0[rowlen * moff:rowlen * (moff + 1)]
+            p1 = matrix1[rowlen * moff:rowlen * (moff + 1)]
+            c0 = matrix0[rowlen * (moff + 1):rowlen * (moff + 2)]
+            c1 = matrix1[rowlen * (moff + 1):rowlen * (moff + 2)]
+            sread_b = int(seqs0[HW + xb + xx])
+            scns_b = int(seqs1[HW + yb + xx])
+            h = (int(mats0[scns_b, HW + xb + xx]) if scns_b < 4 else 0) \
+                + (int(mats1[sread_b, HW + yb + xx]) if sread_b < 4 else 0)
+            if h > 255:
+                h = 255
+            if dirn:
+                e = int(p0[1 + xx + 1])
+                f = int(p1[1 + xx])
+            else:
+                e = int(p0[1 + xx])
+                f = int(p1[1 + xx - 1])
+            s = f + int(c0[1 + xx])
+            if s == f and not (xx == 0 and dirn == 0):
+                if sread_b < 4:
+                    roff -= 1
+                xi -= 1
+            elif s == e:
+                yi -= 1
+            elif s == h:
+                if sread_b < 4:
+                    roff -= 1
+                    u = g.rdnode(self.nseq + 1 + sread_b, yi)
+                    v = g.rdnode(rid, roff)
+                    g.merge_nodes(u, v)
+                scr += s
+                xi -= 1
+                yi -= 1
+            else:
+                raise RuntimeError("pedit traceback lost")
+        return scr
+
+    # ------------------------------------------------------- tidy + SNV
+    def _find_top2(self, col, nseq, calc_n):
+        bcnts = [0] * 6
+        for rid in range(nseq):
+            b = int(col[rid])
+            if b <= 4:
+                bcnts[b] += 1
+                bcnts[5] += 1
+        if bcnts[0] >= bcnts[1]:
+            m1, m2 = 0, 1
+        else:
+            m1, m2 = 1, 0
+        for i in range(2, 5 if calc_n else 4):
+            if bcnts[i] > bcnts[m1]:
+                m2 = m1
+                m1 = i
+            elif bcnts[i] > bcnts[m2]:
+                m2 = i
+        return bcnts, m1, m2
+
+    def tidy_msa(self):
+        """Tenon-mortise gap fix + re-consensus (bspoa.h:4834-4929)."""
+        nseq = self.nrds
+        nall = nseq if self.nseq == 0 else self.nseq
+        mlen = len(self.msaidxs)
+        lst = 0
+        lc = 4
+        lq = 0
+        lpos = None
+        lcol = None
+        for pos in range(mlen):
+            col = self.msacols[self.msaidxs[pos]]
+            qlt = int(col[nall + 2])
+            if qlt < self.par.althi:
+                continue
+            bcnts, m1, m2 = self._find_top2(col, nseq, 1)
+            alt = 4
+            gap = 0
+            if m1 == 4 and bcnts[m2]:
+                gap = bcnts[m1]
+                alt = m2
+            elif m2 == 4 and bcnts[m1]:
+                alt = m1
+                gap = bcnts[m2]
+            if alt == 4 or gap < int(0.1 * bcnts[5]) \
+                    or bcnts[alt] < int(0.1 * bcnts[5]):
+                continue
+            if lpos is None:
+                pass
+            elif alt == lc:
+                if qlt < lq:
+                    continue
+            elif lst >= int(0.75 * bcnts[alt]):
+                e = lpos
+                while e < pos:
+                    bss = self.msacols[self.msaidxs[e + 1]]
+                    if bss[nall] < 4 and bss[nall] != lc:
+                        break
+                    e += 1
+                f = pos
+                while f > e:
+                    bss = self.msacols[self.msaidxs[f - 1]]
+                    if bss[nall] < 4 and bss[nall] != alt:
+                        break
+                    f -= 1
+                if e + 1 >= f:
+                    bss = self.msacols[self.msaidxs[lpos]]
+                    e2 = f2 = 0
+                    for rid in range(nseq):
+                        if col[rid] < 4 and bss[rid] < 4 \
+                                and col[rid] != bss[rid]:
+                            e2 += 1
+                        elif col[rid] < 4 or bss[rid] < 4:
+                            f2 += 1
+                    if f2 >= int(0.75 * bcnts[5]) \
+                            and e2 <= int(0.40 * min(gap, lst)):
+                        for rid in range(nseq):
+                            if col[rid] == alt and bss[rid] == 4:
+                                bss[rid] = alt
+                                col[rid] = 4
+                        lpos = None
+                        lst = 0
+                        lc = 4
+                        lq = 0
+                        continue
+            lpos = pos
+            lst = gap
+            lc = alt
+            lq = qlt
+        self.cns_call()
+
+    def call_snvs(self):
+        """Sequencing-error-rate estimate + per-column SNV test
+        (bspoa.h:4931-5049)."""
+        nseq = self.nrds
+        nall = nseq if self.nseq == 0 else self.nseq
+        realnseq = nseq if (nseq and self.nseq and self.rdlen(0)) else nseq - 1
+        mlen = len(self.msaidxs)
+        pinc = 0.0005
+        pcnt = 100
+        pmin = 0.01
+        acnt = realnseq * (realnseq // 2 + 1)
+        psums = np.zeros(pcnt, np.float32)
+        acnts = np.zeros(acnt, np.int64)
+        mincov = max(2, int(np.float32(realnseq * np.float32(self.par.min_covfrq))))
+        for pos in range(mlen):
+            col = self.msacols[self.msaidxs[pos]]
+            bcnts, m1, m2 = self._find_top2(col, nseq, 0)
+            if bcnts[m1] + bcnts[m2] >= mincov:
+                covn = bcnts[5]
+                altn = bcnts[m2]
+                if altn * realnseq + covn - 1 < acnt:
+                    acnts[altn * realnseq + covn - 1] += 1
+        for i in range(1, acnt):
+            if acnts[i] == 0:
+                continue
+            altn = i // realnseq
+            covn = (i % realnseq) + 1
+            pexp = 1.0 * altn / covn
+            j = int(pexp / pinc)
+            if 0 < j < pcnt:
+                for k in range(j):
+                    perr = pexp - pinc * k
+                    prob = math.exp(cal_binomial(covn, altn, perr))
+                    psums[j - k] = np.float32(
+                        np.float64(psums[j - k]) + float(acnts[i]) * prob)
+                    if prob <= pmin:
+                        break
+                k = 1
+                while j + k < pcnt:
+                    perr = pexp + pinc * k
+                    prob = math.exp(cal_binomial(covn, altn, perr))
+                    psums[j + k] = np.float32(
+                        np.float64(psums[j + k]) + float(acnts[i]) * prob)
+                    if prob <= pmin:
+                        break
+                    k += 1
+        perr = 1.0
+        pexp = 0.01
+        for i in range(pcnt):
+            if perr < float(psums[i]):
+                pexp = i * pinc
+                perr = float(psums[i])
+        self.var = []
+        lpos = 0
+        for pos in range(mlen):
+            col = self.msacols[self.msaidxs[pos]]
+            bcnts, m1, m2 = self._find_top2(col, nseq, 0)
+            if m1 < 4 and m2 < 4 and bcnts[m2] >= self.par.min_varcnt \
+                    and bcnts[m1] + bcnts[m2] >= mincov:
+                prob = cal_binomial(bcnts[5], bcnts[m2], pexp)
+                qual = int(-(prob / math.log(10)))
+                if qual > 1000:
+                    qual = 1000
+                if qual >= self.par.min_snvqlt:
+                    self.var.append(dict(cpos=lpos, mpos=pos, covn=bcnts[5],
+                                         refn=bcnts[m1], refb=m1,
+                                         altn=bcnts[m2], altb=m2, qual=qual))
+            if col[nall] < 4:
+                lpos += 1
+
+    # ------------------------------------------------------------- driver
+    def end(self):
+        self.cns = np.zeros(0, np.uint8)
+        self.qlt = np.zeros(0, np.uint8)
+        self.alt = np.zeros(0, np.uint8)
+        if self.par.refmode:
+            self.cns = self.seqs[0].copy()
+            self.qlt = np.zeros(len(self.cns), np.uint8)
+            self.alt = np.zeros(len(self.cns), np.uint8)
+        if self.nseq <= 1:
+            return
+        if self.par.shuffle:
+            self.shuffle_reads_by_kmers()
+        if self.par.seqcore:
+            self.nmsa = min(self.nseq, self.par.seqcore)
+        else:
+            self.nmsa = self.nseq
+        for rid in range(self.nseq):
+            self._add_read_core(rid)
+        self.nrds = 1
+        for rid in range(1, self.nmsa):
+            if not self.par.refmode and self.par.bwtrigger:
+                self.msa()
+                self.simple_cns()
+            self.align_rd(self.par, 0, rid, 0, self.rdlen(rid))
+            self.nrds += 1
+        for i in range(self.par.realn):
+            self.msa()
+            self.cns_call()
+            if self.par.editbw < 0:
+                self.remsa_edits(-self.par.editbw)
+            else:
+                self.remsa_pedits(self.par.editbw // 2, 1,
+                                  1 if (i + 1 == self.par.realn) else 0)
+        if self.par.shuffle:
+            self.restore_rd_orders()
+        self.msa()
+        self.cns_call()
+
+    def remsa_edits(self, W: int):
+        raise NotImplementedError("scalar remsa (editbw<0) not yet ported")
+
+    # ------------------------------------------------------------ printing
+    def print_msa(self, label: str, out, linewidth: int = 0, colorful: int = 0):
+        nseq = self.nseq
+        mrow = nseq + 3
+        mlen = len(self.msaidxs)
+        mbeg, mend = 0, mlen
+        if linewidth == 0 or linewidth > mend - mbeg:
+            linewidth = mend - mbeg
+        roffs = [0] * (nseq + 1)
+        beg = mbeg
+        while beg < mend:
+            end = min(mend, beg + linewidth)
+            out.write(f"{label} MSA [POS] "
+                      f"{self._str_msa_ruler(beg, end)}\n")
+            cbeg = roffs[nseq]
+            for i in range(mrow):
+                out.write(f"{label} MSA ")
+                if i <= nseq:
+                    s, rend = self._str_msa_seq(beg, end, i, roffs[i])
+                    tagl = "[CNS] " if i == nseq else f"[{i:03d}] "
+                    out.write(tagl + f"{s} {roffs[i]}\t{rend}\n")
+                    roffs[i] = rend
+                else:
+                    s = self._str_msa_qlt(beg, end, i)
+                    out.write(("[QLT] " if i == nseq + 1 else "[ALT] ")
+                              + s + "\n")
+            out.write(f"{label} MSA [POS] "
+                      f"{self._str_cns_ruler(beg, end, cbeg)}\n")
+            cn = roffs[nseq]
+            seg = "".join("ACGTN-"[b] for b in self.cns[cbeg:cn])
+            out.write(f"{label} CNS\t{cn - cbeg}\t{seg}\n")
+            seg = "".join(chr(33 + int(b)) for b in self.qlt[cbeg:cn])
+            out.write(f"{label} QLT\t{cn - cbeg}\t{seg}\n")
+            seg = "".join(chr(33 + int(b)) for b in self.alt[cbeg:cn])
+            out.write(f"{label} ALT\t{cn - cbeg}\t{seg}\n")
+            beg = end
+
+    def _str_msa_ruler(self, mbeg, mend):
+        """bspoa.h:1360-1388: '|%05u' markers every 10 columns + '~' at SNVs."""
+        s: List[str] = []
+        j = mbeg
+        for i in range(mbeg, mend):
+            if (i % 10) == 0 and j + 6 <= mend:
+                s.extend(f"|{i:05d}")
+                j += 6
+            elif i >= j:
+                s.append(" ")
+                j += 1
+        for x in self.var:
+            if x["mpos"] >= mend:
+                break
+            if x["mpos"] >= mbeg and x["mpos"] - mbeg < len(s):
+                s[x["mpos"] - mbeg] = "~"
+        return "".join(s)
+
+    def _str_msa_seq(self, mbeg, mend, rid, rbeg):
+        nseq = self.nseq
+        roff = rbeg
+        chars = []
+        for i in range(mbeg, mend):
+            col = self.msacols[self.msaidxs[i]]
+            if col[rid] <= 4 and col[rid] != col[nseq]:
+                ch = "acgt-.*"[col[rid]]
+            else:
+                ch = "ACGT-.*"[col[rid]]
+            chars.append(ch)
+            if col[rid] < 4:
+                roff += 1
+        return "".join(chars), roff
+
+    def _str_msa_qlt(self, mbeg, mend, row):
+        chars = []
+        for i in range(mbeg, mend):
+            col = self.msacols[self.msaidxs[i]]
+            chars.append(chr(33 + int(col[row])))
+        return "".join(chars)
+
+    def _str_cns_ruler(self, mbeg, mend, cbeg):
+        nseq = self.nseq
+        out = []
+        j = cbeg
+        b = mbeg
+        i = mbeg
+        while i < mend:
+            if self.msacols[self.msaidxs[i]][nseq] < 4:
+                if (j % 10) == 0:
+                    while b < i:
+                        out.append(" ")
+                        b += 1
+                    if b + 6 < mend:
+                        out.append(f"|{j:05d}")
+                        b += 6
+                j += 1
+            i += 1
+        while b < mend:
+            out.append(" ")
+            b += 1
+        return "".join(out)
+
+    def print_snvs(self, label: str, out):
+        nseq = self.nrds
+        fsz = 5
+        for var in self.var:
+            cpos = var["cpos"]
+            fct = min(cpos, fsz)
+            fl0 = "".join("ACGTN-"[b] for b in self.cns[cpos - fct:cpos])
+            fq0 = "".join(chr(33 + int(b)) for b in self.qlt[cpos - fct:cpos])
+            fct2 = min(len(self.cns) - cpos - 1, fsz)
+            fl1 = "".join("ACGTN-"[b]
+                          for b in self.cns[cpos + 1:cpos + 1 + fct2])
+            fq1 = "".join(chr(33 + int(b))
+                          for b in self.qlt[cpos + 1:cpos + 1 + fct2])
+            col = self.msacols[self.msaidxs[var["mpos"]]]
+            gts = "".join("ACGT-.*"[int(col[r])] for r in range(nseq))
+            out.write(f"{label} SNP\t{cpos}\t{var['mpos']}\t{fl0}\t{fq0}\t"
+                      f"{'ACGTN-'[var['refb']]}\t{var['refn']}\t"
+                      f"{'ACGTN-'[var['altb']]}\t{var['altn']}\t{fl1}\t{fq1}\t"
+                      f"{var['covn']}\t{var['qual']}\t{gts}\n")
