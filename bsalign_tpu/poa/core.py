@@ -1805,7 +1805,117 @@ class BSPOA:
         self.cns_call()
 
     def remsa_edits(self, W: int):
-        raise NotImplementedError("scalar remsa (editbw<0) not yet ported")
+        """Scalar banded edit realignment vs the column profile
+        (bspoa.h:4459-4721); used when editbw < 0."""
+        g = self.g
+        nseq = self.nrds
+        nall = nseq if self.nseq == 0 else self.nseq
+        mlen = len(self.msaidxs)
+        W = (W + 1) & ~1
+        HW = W >> 1
+        if mlen < W:
+            return
+        self.add_msanodes()
+        SMIN = -(0xFFFFFFFF >> 2)
+        bcnts = np.zeros((mlen, 5), np.int64)
+        seqs1 = np.full(mlen + 2 * HW, 4, np.uint8)
+        for pos in range(mlen):
+            col = self.msacols[self.msaidxs[pos]]
+            seqs1[HW + pos] = col[nall]
+            for rid in range(nall):
+                if col[rid] < 4:
+                    bcnts[pos, col[rid]] += 1
+
+        def get_cnt(b, p):
+            return int(bcnts[p, b])
+
+        def set_cnt(b, p, v):
+            bcnts[p, b] = v
+
+        def add_cnt(b, p, d, cap):
+            bcnts[p, b] += d
+        self._hp_adjust(mlen, nall, get_cnt, set_cnt, add_cnt, False)
+        matrix = np.zeros(mlen * W, np.uint8)
+        seqs0 = np.full(mlen + 2 * HW, 4, np.uint8)
+        breps = np.zeros(mlen, np.int64)
+        for rid in range(nseq):
+            rdlen = self.rdlen(rid)
+            if rdlen == 0:
+                continue
+            seqs0[HW:HW + mlen] = 4
+            breps[:] = 0
+            lc = 4
+            cc = 0
+            for i in range(rdlen, 0, -1):
+                vi = g.cut_rdnode(rid, i - 1, 3)
+                v = g.nodes[vi]
+                seqs0[HW + v.mpos] = v.base
+                if v.base == lc:
+                    if cc < 0xF:
+                        cc += 1
+                    breps[v.mpos] = cc << (v.base << 2)
+                else:
+                    lc = v.base
+                    cc = 0
+            mbeg = g.nodes[g.rdnode(rid, 0)].mpos
+            mend = g.nodes[g.rdnode(rid, rdlen - 1)].mpos + 1
+            # forward DP (bspoa.h:4471-4497)
+            lst = np.full(W + 1, SMIN, np.int64)
+            lst[HW:W] = 0
+            cur = np.full(W + 1, SMIN, np.int64)
+            for y in range(mbeg, mend):
+                cb = int(seqs1[HW + y]) << 2
+                s = SMIN
+                mtx_row = matrix[y * W:(y + 1) * W]
+                for x in range(W):
+                    xi = y + x - HW
+                    bt = 1  # I
+                    lb = int(seqs0[HW + xi])
+                    rep = (int(breps[xi]) >> cb) & 0xF \
+                        if 0 <= xi < mlen else 0
+                    bsv = int(bcnts[y, lb]) if lb < 4 else 0
+                    h = int(lst[x]) + bsv + rep
+                    e = int(lst[x + 1])
+                    if s < h:
+                        s = h
+                        bt = 0  # M
+                    if s < e:
+                        s = e
+                        bt = 2  # D
+                    cur[x] = s
+                    mtx_row[x] = bt
+                lst, cur = cur, lst
+            # traceback (bspoa.h:4498-4534)
+            y = mend - 1
+            x = mend - 1
+            roff = rdlen
+            while True:
+                xi = x - y + HW
+                bt = int(matrix[y * W + xi])
+                if bt == 0:
+                    if seqs0[HW + x] < 4:
+                        roff -= 1
+                        # bspoa.h:4513 indexes rails without the +1 used by
+                        # remsa_pedits (bspoa.h:4016); that path is
+                        # unreachable from the reference CLI (the -G regex
+                        # rejects negative editbw) and corrupts the graph, so
+                        # we use the evidently intended rail row
+                        u = g.rdnode(self.nseq + 1 + int(seqs0[HW + x]), y)
+                        v = g.rdnode(rid, roff)
+                        g.merge_nodes(u, v)
+                    x -= 1
+                    y -= 1
+                elif bt == 1:
+                    if seqs0[HW + x] < 4:
+                        roff -= 1
+                    x -= 1
+                else:
+                    y -= 1
+                if x < mbeg or y < mbeg:
+                    break
+            for i in range(rdlen + 1):
+                g.connect_rdnode(rid, i)
+        self.del_msanodes()
 
     # ------------------------------------------------------------ printing
     def print_msa(self, label: str, out, linewidth: int = 0, colorful: int = 0):
@@ -1925,3 +2035,72 @@ class BSPOA:
                       f"{'ACGTN-'[var['refb']]}\t{var['refn']}\t"
                       f"{'ACGTN-'[var['altb']]}\t{var['altn']}\t{fl1}\t{fq1}\t"
                       f"{var['covn']}\t{var['qual']}\t{gts}\n")
+
+    # ----------------------------------------------------- binary MSA I/O
+    def dump_binary_msa(self, out, metadat: bytes = b""):
+        """Tagged records 0x81 meta | 0x22 cols+qlt+alt | 0xFF (bspoa.h:1555)."""
+        import struct
+        nseq = self.nrds
+        mlen = len(self.msaidxs)
+        if metadat:
+            out.write(b"\x81" + struct.pack("<I", len(metadat)) + metadat)
+        out.write(b"\x22" + struct.pack("<II", mlen, nseq))
+        qlts = bytearray()
+        alts = bytearray()
+        for i in range(mlen):
+            col = self.msacols[self.msaidxs[i]]
+            out.write(bytes(col[: nseq + 1]))
+            qlts.append(int(col[nseq + 1]))
+            alts.append(int(col[nseq + 2]))
+        out.write(bytes(qlts))
+        out.write(bytes(alts))
+        out.write(b"\xFF")
+
+    def load_binary_msa(self, inp) -> int:
+        """bspoa.h:1586-1685; returns 0 on success."""
+        import struct
+        self._reset()
+        while True:
+            tag = inp.read(1)
+            if not tag:
+                return -1  # EOF
+            if tag == b"\xFF":
+                self._post_load_binary()
+                return 0
+            if tag == b"\x81":
+                (dlen,) = struct.unpack("<I", inp.read(4))
+                self.mtag = inp.read(dlen)
+            elif tag == b"\x22":
+                dcnt, dlen = struct.unpack("<II", inp.read(8))
+                nseq = dlen
+                self.nrds = self.nmsa = nseq
+                mrow = nseq + 3
+                self.msaidxs = list(range(dcnt))
+                self.msacols = np.full((dcnt, mrow), 4, np.uint8)
+                for i in range(dcnt):
+                    self.msacols[i, : nseq + 1] = np.frombuffer(
+                        inp.read(nseq + 1), np.uint8)
+                qa = np.frombuffer(inp.read(dcnt * 2), np.uint8)
+                self.msacols[:, nseq + 1] = qa[:dcnt]
+                self.msacols[:, nseq + 2] = qa[dcnt:]
+
+    def _post_load_binary(self):
+        nseq = self.nrds
+        mrow = nseq + 3
+        dcnt = len(self.msaidxs)
+        self.seqs = []
+        self.cigars = [[] for _ in range(nseq)]
+        for i in range(nseq):
+            bases = [int(self.msacols[self.msaidxs[j], i]) for j in range(dcnt)
+                     if self.msacols[self.msaidxs[j], i] < 4]
+            self.seqs.append(np.array(bases, np.uint8))
+        cns, qlt, alt = [], [], []
+        for i in range(dcnt):
+            col = self.msacols[self.msaidxs[i]]
+            if col[nseq] < 4:
+                cns.append(int(col[nseq]))
+                qlt.append(int(col[nseq + 1]))
+                alt.append(int(col[nseq + 2]))
+        self.cns = np.array(cns, np.uint8)
+        self.qlt = np.array(qlt, np.uint8)
+        self.alt = np.array(alt, np.uint8)

@@ -95,3 +95,30 @@ def test_cat_weak_join_parity(ref_bin, tmp_path):
     ref = run_ref(ref_bin, "cat", fa)
     mine = _run_mine("cat", fa)
     assert mine == ref
+
+
+def test_binary_msa_roundtrip(ref_bin, tmp_path):
+    """Binary MSA dump/load is byte-compatible with the reference format."""
+    import io
+    sys.path.insert(0, "/root/repo")
+    from bsalign_tpu.poa.cli import default_poa_par
+    from bsalign_tpu.poa.core import BSPOA
+    from bsalign_tpu import seqs as S
+    fa = tmp_path / "msa.fa"
+    _gen_msa(fa, 5, 100, 0.08, 31)
+    g = BSPOA(default_poa_par())
+    g.beg()
+    for rec in S.read_fastx(str(fa)):
+        if rec.seq:
+            g.push(rec.seq)
+    g.end()
+    buf = io.BytesIO()
+    g.dump_binary_msa(buf, b"meta")
+    buf.seek(0)
+    g2 = BSPOA(default_poa_par())
+    assert g2.load_binary_msa(buf) == 0
+    assert np.array_equal(g.cns, g2.cns)
+    assert np.array_equal(g.qlt, g2.qlt)
+    assert len(g2.seqs) == g.nrds
+    for rid in range(1, g.nrds):
+        assert np.array_equal(g2.seqs[rid], g.seqs[rid])
