@@ -65,6 +65,24 @@ def _init_state(mode, bandwidth, piecewise, smax, smin, gapo1, gape1, gapo2,
 DEVICE_CHUNK = 256  # pairs per forward call: peak VPU throughput, fits VMEM
 
 
+def _engine():
+    """Forward-pass engine: the Pallas Mosaic kernel on TPU (≈18× the XLA
+    scan engine), the XLA engine elsewhere. BSA_FORWARD_ENGINE=jax|pallas
+    overrides."""
+    import os
+
+    import jax
+
+    from ..ops import banded8_jax, banded8_pallas
+    sel = os.environ.get("BSA_FORWARD_ENGINE")
+    if sel == "jax":
+        return banded8_jax
+    if sel == "pallas":
+        return banded8_pallas
+    return (banded8_pallas if jax.default_backend() == "tpu"
+            else banded8_jax)
+
+
 def align_batch(qseqs: Sequence[np.ndarray], tseqs: Sequence[np.ndarray],
                 mode: int, bandwidth: int, mtx: np.ndarray, gapo1: int,
                 gape1: int, gapo2: int, gape2: int,
@@ -93,8 +111,9 @@ def align_batch(qseqs: Sequence[np.ndarray], tseqs: Sequence[np.ndarray],
     qpad, qlens, tpad, tlens, rby, T = _pack_batch(qseqs, tseqs, bandwidth)
     us0, es0, qs0, ub0, _ = _init_state(mode, bandwidth, piecewise, smax,
                                         smin, gapo1, gape1, gapo2, gape2, B)
-    fwd = K.make_forward(T, W, mode, piecewise, gapo1, gape1, gapo2, gape2,
-                         smax, smin)
+    eng = _engine()
+    fwd = eng.make_forward(T, W, mode, piecewise, gapo1, gape1, gapo2, gape2,
+                           smax, smin)
     res = fwd(qpad, qlens, tpad, tlens, _mtx5(mtx), rby, us0, es0, qs0, ub0)
     planes = res.planes
     us_p = np.asarray(planes.us)

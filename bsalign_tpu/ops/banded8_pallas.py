@@ -1,0 +1,774 @@
+"""Pallas TPU kernel for the batched 8-bit banded striped pairwise DP.
+
+This is the flagship compute path: the same difference-recurrence DP as the
+JAX engine (ops/banded8_jax.py, itself bit-exact vs the reference
+bsalign.h:2084-4050), but compiled as ONE Mosaic kernel so the whole row loop
+runs on-core with all band state resident in VMEM — no per-op XLA sequencing
+overhead, no HBM round trips between rows.
+
+Layout (per grid step): batch block of BL pairs on the 128-lane axis; band
+stripes [W, WS=16 sublanes] unrolled in the kernel; all arithmetic in int32
+(the only dtype with full vector op support in this Mosaic build) with the
+reference's int8 saturation semantics emulated exactly via clips/wraps.
+Per-pair scalars are kept as (1, BL) tiles — Mosaic rejects rank-1 vectors.
+
+Grid is (batch_blocks, row_chunks); VMEM scratch persists across row chunks
+(TPU grids execute sequentially), so DP state carries over. Per-row
+difference planes + stripe anchors stream out to HBM for host-side backcal
+traceback, same contract as the JAX engine.
+
+Band movement is tiered: the common case (adaptive move of 0..TF positions,
+bsalign.h:3331-3349) takes a cheap static-shift path; arbitrary moves
+(global-mode diagonal forcing, bsalign.h:4006-4021) fall into a general
+branch chosen per row by a scalar max over the block. The striped
+query-score window is maintained incrementally with slack lanes and
+refreshed from the chunked query-code buffer only every ~hundred rows.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..constants import (MODE_GLOBAL, MODE_OVERLAP, SCORE_EPI8_MAX,
+                         SCORE_EPI8_MIN, SCORE_MIN, WORDSIZE, mode_type)
+from .banded8_jax import ForwardResult, RowPlanes
+
+WS = WORDSIZE          # 16 lanes per stripe (sublane axis in-kernel)
+I32 = jnp.int32
+MIN8 = SCORE_EPI8_MIN  # band-edge fill
+C_CHUNK = 256          # query code chunk length (refresh granularity)
+SLANES = 32            # striped window lanes (WS+1 needed + slack)
+UBR = WS + 8           # ubegs rows padded to a sublane-friendly 24
+
+
+def _adds8(a, b):
+    return jnp.clip(a + b, -128, 127)
+
+
+def _addc8(a, c):
+    """Saturating add of a compile-time nonpositive constant."""
+    assert c <= 0
+    return jnp.maximum(a + c, -128)
+
+
+def _subs8(a, b):
+    return jnp.clip(a - b, -128, 127)
+
+
+def _wrap8(x):
+    return ((x + 128) & 0xFF) - 128
+
+
+def _divu(r, m):
+    """Exact floor(r / m) for 0 <= r < 2^28, 1 <= m, int32 tiles.
+
+    float32 quotient + one remainder refinement + two ±1 corrections is
+    exact over this range (band steering, bsalign.h:4012)."""
+    rf = r.astype(jnp.float32)
+    mf = m.astype(jnp.float32)
+    q = (rf / mf).astype(I32)
+    rem = r - q * m
+    q = q + (rem.astype(jnp.float32) / mf).astype(I32)
+    rem = r - q * m
+    for _ in range(2):
+        q = q + (rem >= m).astype(I32) - (rem < 0).astype(I32)
+        rem = r - q * m
+    return q
+
+
+def _roll_stripes(x, k):
+    """out[i] = x[(i + k) % n] along axis 0, static k."""
+    if k == 0:
+        return x
+    return jnp.concatenate([x[k:], x[:k]], axis=0)
+
+
+def _lanes_dn(x, k):
+    """out[..., j, :] = x[..., j + k, :], zero fill, static k; lanes axis -2."""
+    if k == 0:
+        return x
+    n = x.shape[-2]
+    if k >= n:
+        return jnp.zeros_like(x)
+    pad = jnp.zeros_like(x[..., :k, :])
+    return jnp.concatenate([x[..., k:, :], pad], axis=-2)
+
+
+@functools.lru_cache(maxsize=64)
+def _get_call(T, W, mode, piecewise, gapo1, gape1, gapo2, gape2, nt_max,
+              nt_min, BL, Rs, NCH, Tp, NB, uniform_mtx, interpret):
+    BW = W * WS
+    GapE = gape1
+    GapOE = gapo1 + gape1
+    GapP = gape2
+    GapQP = gapo2 + gape2
+    GapOQ = max(-128, min(127, GapOE - GapQP))
+    mt = mode_type(mode)
+    TC = Tp // Rs
+    TF = min(4, W - 1)  # fast-tier max band move per row
+    SLACK_BUDGET = (SLANES - WS - 2) * W
+    if piecewise == 2:
+        D_OH = (gapo1 - gapo2) // (gape2 - gape1)
+        C_OH = min(nt_min, gapo2 + gape2) - 1 - nt_max + (gapo2 + gape2)
+    else:
+        D_OH = BW + 1
+        C_OH = min(nt_min, gapo1 + gape1) - 1 - nt_max + (gapo1 + gape1)
+    C_OH = ((C_OH + 128) & 0xFF) - 128
+
+    # natural band position of stripe-slot (x, y): p = y*W + x
+    # (built via broadcasted_iota — Pallas kernels cannot capture np consts)
+    def p_grid():
+        x_i = jax.lax.broadcasted_iota(I32, (W, WS, 1), 0)
+        y_i = jax.lax.broadcasted_iota(I32, (W, WS, 1), 1)
+        return y_i * W + x_i
+
+    def j_lanes():
+        return jax.lax.broadcasted_iota(I32, (WS, 1), 0)
+
+    # ---------- query window scoring ----------
+    def qprof_from_win(win, tbase, mtx_ref):
+        """win [W, SLANES, BL] codes -> (qp [W, WS, BL], qlast [WS, BL]).
+        tbase is (1, BL)."""
+        tb = tbase[None]
+        w17 = win[:, :WS + 1, :]
+        if uniform_mtx:
+            sc = jnp.where(w17 == tb, mtx_ref[0, 0], mtx_ref[0, 1])
+            sc = jnp.where(w17 >= 4, MIN8, sc)
+        else:
+            sc = jnp.full(w17.shape, MIN8, I32)
+            for v in range(4):
+                srow_v = jnp.full((1, BL), 1, I32) * mtx_ref[v, 0]
+                for t in range(1, 4):
+                    srow_v = jnp.where(tbase == t, mtx_ref[v, t], srow_v)
+                sc = jnp.where(w17 == v, srow_v[None], sc)
+        return sc[:, :WS, :], sc[0, 1:WS + 1, :]
+
+    # ---------- band state shift (movx), fast tier: mov in [0, TF] ----------
+    def plane_shift_fast(x, mov):
+        out = x
+        for k in range(1, TF + 1):
+            rolled = _roll_stripes(x, k)
+            hi = _lanes_dn(rolled, 1)
+            shifted = jnp.concatenate([rolled[:W - k], hi[W - k:]], axis=0)
+            out = jnp.where(mov[None] == k, shifted, out)
+        return out
+
+    def overhang_fill(us_s, movc):
+        # mimic-insertion overhang over p >= BW - movx (bsalign.h:2357-2390)
+        pg = p_grid()
+        p0 = (BW - movc)[None]
+        fill = jnp.where(pg < p0 + D_OH, GapE, GapP)
+        fill = jnp.where(pg == p0, C_OH, fill)
+        return jnp.where((pg >= p0) & (movc[None] > 0), fill, us_s)
+
+    def ub_overhang_adj(ub_n, movc):
+        # closed form of the reference's running-cost cumsum at lane ends
+        p0 = BW - movc                                       # (1, BL)
+        rel = ((j_lanes() + 1) * W - 1) - p0                 # (WS, BL)
+        n1 = jnp.clip(rel, 0, D_OH - 1)
+        n2 = jnp.maximum(rel - D_OH + 1, 0)
+        s_adj = C_OH + GapE * n1 + GapP * n2
+        lane0 = (BW - movc) // W
+        lane_ok = j_lanes() >= lane0
+        adj = jnp.where(lane_ok & (movc > 0) & (rel >= 0), s_adj, 0)
+        return jnp.concatenate([ub_n[:1], ub_n[1:] + adj], axis=0)
+
+    def stripe_prefix_mask_sum(us, mov, kmax):
+        """sum_{i < mov} us[i] as [WS, BL], mov (1, BL) in [0, kmax]."""
+        summ = jnp.zeros((WS, BL), I32)
+        pref = jnp.zeros((WS, BL), I32)
+        for k in range(kmax):
+            pref = pref + us[k]
+            summ = jnp.where(mov > k, pref, summ)
+        return summ
+
+    def movx_fast(planes, ub, mov):
+        us = planes[0]
+        ubt = ub[:WS] + stripe_prefix_mask_sum(us, mov, TF)
+        ub_n = jnp.concatenate([ubt, ub[WS:WS + 1]], axis=0)
+        outs = [plane_shift_fast(p, mov) for p in planes]
+        outs[0] = overhang_fill(outs[0], mov)
+        ub_n = ub_overhang_adj(ub_n, mov)
+        iz = (mov == 0)[None]
+        outs = [jnp.where(iz, p, o) for p, o in zip(planes, outs)]
+        ub_n = jnp.where(mov == 0, ub, ub_n)
+        return outs, ub_n
+
+    def rh_move_fast(us, ub, mov_eff):
+        # H(prev row, band pos mov_eff-1); mov_eff-1 < TF < W so y == 0
+        pos = jnp.maximum(mov_eff - 1, 0)                    # (1, BL)
+        acc = us[0, 0:1]
+        sc = acc
+        for k in range(1, max(TF, 1)):
+            acc = acc + us[k, 0:1]
+            sc = jnp.where(pos == k, acc, sc)
+        return ub[0:1] + sc
+
+    # ---------- general (slow) tier ----------
+    def shift_lanes_dyn(x, k):
+        out = x
+        for bit in (1, 2, 4, 8, 16):
+            shifted = _lanes_dn(out, bit)
+            out = jnp.where((k[None] & bit) != 0, shifted, out)
+        return out
+
+    def movx_general(planes, ub, movx):
+        cyc = movx // W
+        mov = movx % W
+        is_zero = (movx == 0)
+        is_full = (movx >= BW)
+        movc = jnp.minimum(movx, BW)
+
+        def plane_shift(x):
+            rolled = x
+            for k in range(1, W):
+                rolled = jnp.where(mov[None] == k, _roll_stripes(x, k),
+                                   rolled)
+            lo = shift_lanes_dyn(rolled, cyc)
+            hi = shift_lanes_dyn(rolled, cyc + 1)
+            div = (W - mov)[None]
+            i_ax = jax.lax.broadcasted_iota(I32, (W, 1, 1), 0)
+            return jnp.where(i_ax < div, lo, hi)
+
+        us = planes[0]
+        ubt = ub[:WS] + stripe_prefix_mask_sum(us, mov, W)
+        ubt_pad = jnp.concatenate([ubt, jnp.zeros((1, BL), I32)], axis=0)
+        out_ub = ubt_pad
+        for k in range(1, WS + 1):
+            rolled = jnp.concatenate([ubt_pad[k:], ubt_pad[:k]], axis=0)
+            out_ub = jnp.where(cyc == k, rolled, out_ub)
+        k_ax = jax.lax.broadcasted_iota(I32, (WS + 1, 1), 0)
+        ub_n = jnp.where(k_ax < (WS - cyc), out_ub, ub[WS:WS + 1])
+        outs = [plane_shift(p) for p in planes]
+        outs[0] = overhang_fill(outs[0], movc)
+        ub_n = ub_overhang_adj(ub_n, movc)
+        iz = is_zero[None]
+        outs = [jnp.where(iz, p, o) for p, o in zip(planes, outs)]
+        ub_n = jnp.where(is_zero, ub, ub_n)
+        # movx >= bandwidth: full reset (bsalign.h:2253-2259)
+        fz = is_full[None]
+        outs = [jnp.where(fz, 0, o) for o in outs]
+        ub_n = jnp.where(is_full, SCORE_MIN, ub_n)
+        return outs, ub_n
+
+    def getscore_general(us, ub, pos):
+        """Absolute H at natural band pos (1, BL); us [W,WS,BL], ub [17,BL]."""
+        acc = us
+        sh = 1
+        while sh < W:
+            pad = jnp.zeros((sh, WS, BL), I32)
+            acc = acc + jnp.concatenate([pad, acc[:-sh]], axis=0)
+            sh *= 2
+        x = pos % W
+        y = pos // W
+        x_i = jax.lax.broadcasted_iota(I32, (W, WS, 1), 0)
+        y_i = jax.lax.broadcasted_iota(I32, (W, WS, 1), 1)
+        mask = (x_i == x[None]) & (y_i == y[None])
+        s = jnp.sum(jnp.where(mask, acc, 0), axis=0)         # (WS, BL)
+        s = jnp.sum(s, axis=0, keepdims=True)                # (1, BL)
+        ubv = ub[0:1]
+        for j in range(1, WS):
+            ubv = jnp.where(y == j, ub[j:j + 1], ubv)
+        return ubv + s
+
+    # ---------- row computation ----------
+    def fpen(f_last, ub, gape):
+        """Active F-loop over lane heads (bsalign.h:2639-2652)."""
+        t = W * gape
+        fs0 = jnp.concatenate(
+            [jnp.full((1, BL), MIN8, I32), f_last[:-1]], axis=0)
+        fs_rows = [fs0[0:1]]
+        s = t + fs0[0:1] - (ub[1:2] - ub[0:1])
+        for j in range(1, WS):
+            fi = fs0[j:j + 1]
+            fi2 = jnp.where(fi < s, _wrap8(s), fi)
+            fs_rows.append(fi2)
+            if j < WS - 1:
+                s = t + fi2 - (ub[j + 1:j + 2] - ub[j:j + 1])
+        return jnp.concatenate(fs_rows, axis=0)
+
+    def row_cal(qp, qlast, us0, es0, qs0, ub0, rh):
+        if piecewise == 0:
+            t0 = us0[0, 0:1] + GapE
+        elif piecewise == 1:
+            t0 = us0[0, 0:1] + es0[0, 0:1]
+        else:
+            t0 = us0[0, 0:1] + jnp.maximum(es0[0, 0:1], qs0[0, 0:1])
+        h0 = (rh - ub0[0:1]) + qp[0, 0:1]
+        h0 = jnp.where(h0 >= t0, jnp.minimum(h0, SCORE_EPI8_MAX), MIN8)
+        h0 = _wrap8(h0)
+        qp0 = jnp.concatenate([h0, qp[0, 1:]], axis=0)
+        qnext = [qp[x] for x in range(1, W)] + [qlast]
+
+        minf = jnp.full((WS, BL), MIN8, I32)
+        # --- pass 1: f/g entering each stripe's lane block ---
+        h = qp0
+        f = minf
+        g = minf
+        for x in range(W):
+            u = us0[x]
+            if piecewise == 0:
+                e = _addc8(u, GapE)
+                h = jnp.maximum(e, h)
+                h = jnp.maximum(f, h)
+                f = _addc8(h, GapE)
+                f = _subs8(f, u)
+            elif piecewise == 1:
+                e = _adds8(es0[x], u)
+                h = jnp.maximum(e, h)
+                h = jnp.maximum(f, h)
+                f = _addc8(f, GapE)
+                h = _addc8(h, GapOE)
+                f = jnp.maximum(f, h)
+                f = _subs8(f, u)
+            else:
+                e = _adds8(es0[x], u)
+                q = _adds8(qs0[x], u)
+                h = jnp.maximum(e, h)
+                h = jnp.maximum(q, h)
+                h = jnp.maximum(f, h)
+                h = jnp.maximum(g, h)
+                f = _addc8(f, GapE)
+                h = _addc8(h, GapOE)
+                f = jnp.maximum(f, h)
+                f = _subs8(f, u)
+                g = _addc8(g, GapP)
+                h = _subs8(h, GapOQ)
+                g = jnp.maximum(g, h)
+                g = _subs8(g, u)
+            h = qnext[x]
+        f = fpen(f, ub0, GapE)
+        if piecewise == 2:
+            g = fpen(g, ub0, GapP)
+
+        # --- pass 2: u/e/q difference planes + anchors ---
+        zero = jnp.zeros((WS, BL), I32)
+        z = qp0
+        v = zero
+        us1_l, es1_l, qs1_l = [], [], []
+        u_last = zero
+        h_last = zero
+        for x in range(W):
+            u = us0[x]
+            if piecewise == 0:
+                e = _addc8(u, GapE)
+                h = jnp.maximum(e, z)
+                h = jnp.maximum(f, h)
+                us1_l.append(_subs8(h, v))
+                v = _subs8(h, u)
+                f = _addc8(h, GapE)
+                f = _subs8(f, u)
+            elif piecewise == 1:
+                e = _adds8(es0[x], u)
+                h = jnp.maximum(e, z)
+                h = jnp.maximum(f, h)
+                us1_l.append(_subs8(h, v))
+                v = _subs8(h, u)
+                e = _addc8(e, GapE)
+                e = _subs8(e, h)
+                e = jnp.maximum(e, GapOE)
+                es1_l.append(e)
+                f = _addc8(f, GapE)
+                h = _addc8(h, GapOE)
+                f = jnp.maximum(f, h)
+                f = _subs8(f, u)
+            else:
+                e = _adds8(es0[x], u)
+                h = jnp.maximum(e, z)
+                q = _adds8(qs0[x], u)
+                h = jnp.maximum(q, h)
+                h = jnp.maximum(f, h)
+                h = jnp.maximum(g, h)
+                us1_l.append(_subs8(h, v))
+                v = _subs8(h, u)
+                e = _addc8(e, GapE)
+                e = _subs8(e, h)
+                e = jnp.maximum(e, GapOE)
+                es1_l.append(e)
+                q = _addc8(q, GapP)
+                q = _subs8(q, h)
+                q = jnp.maximum(q, GapQP)
+                qs1_l.append(q)
+                f = _addc8(f, GapE)
+                h = _addc8(h, GapOE)
+                f = jnp.maximum(f, h)
+                f = _subs8(f, u)
+                g = _addc8(g, GapP)
+                h = _subs8(h, GapOQ)
+                g = jnp.maximum(g, h)
+                g = _subs8(g, u)
+            u_last = u
+            h_last = h
+            z = qnext[x]
+
+        us1 = jnp.stack(us1_l, axis=0)
+        es1 = jnp.stack(es1_l, axis=0) if piecewise >= 1 else None
+        qs1 = jnp.stack(qs1_l, axis=0) if piecewise == 2 else None
+        if piecewise == 0:
+            h_fin = h_last
+        elif piecewise == 1:
+            h_fin = _subs8(h_last, GapOE)
+        else:
+            h_fin = _subs8(h_last, GapQP)
+
+        # --- tail codes (bsalign.h:2618-2636) ---
+        v2 = _subs8(h_fin, u_last)
+        ub_hi = ub0[1:WS + 1] + v2
+        v3 = jnp.concatenate([jnp.zeros((1, BL), I32), v2[:-1]], axis=0)
+        us1_0 = _subs8(us1[0], v3)
+        ub_0 = ub0[0:1] + us1_0[0:1]
+        us1_0 = jnp.concatenate([jnp.zeros((1, BL), I32), us1_0[1:]], axis=0)
+        us1 = jnp.concatenate([us1_0[None], us1[1:]], axis=0)
+        ub1 = jnp.concatenate([ub_0, ub_hi], axis=0)
+        return us1, es1, qs1, ub1
+
+    def band_mov(ub, i, qoff, qlen_v):
+        noisy = jnp.sum(jnp.abs(ub[1:WS + 1] - ub[:WS]), axis=0,
+                        keepdims=True)
+        noisy = jnp.maximum(WS, noisy // WS // W * WS // 2)
+        movv = jnp.where(ub[0:1] + noisy < ub[WS:WS + 1], 2,
+                         jnp.where(ub[0:1] > ub[WS:WS + 1] + noisy, 0, 1))
+        movv = jnp.where(i <= BW // 4, 0, movv)
+        movv = jnp.where(qoff + BW >= qlen_v, 0, movv)
+        return movv
+
+    # ---------- kernel ----------
+    REG_RBEG, REG_MOV, REG_MACC, REG_BS, REG_BQE, REG_BTE = range(6)
+    n_pl = 1 if piecewise == 0 else (2 if piecewise == 1 else 3)
+
+    def kernel(*refs):
+        (qch, tseq, rby, qltz, mtx5, i_us, i_es, i_qs, i_ub) = refs[:9]
+        outs = refs[9:9 + n_pl + 5]
+        pl_outs = outs[:n_pl]
+        ub_o, begs_o, fin_us_o, fin_ub_o, scal_o = outs[n_pl:n_pl + 5]
+        scratch = refs[9 + n_pl + 5:]
+        s_planes = scratch[:n_pl]
+        s_ub, s_win, s_reg = scratch[n_pl:n_pl + 3]
+        s_us = s_planes[0]
+        tc = pl.program_id(1)
+
+        @pl.when(tc == 0)
+        def _init():
+            inits = (i_us, i_es, i_qs)
+            for sp, ip in zip(s_planes, inits):
+                sp[:] = jnp.broadcast_to(ip[:][:, :, None], (W, WS, BL))
+            s_ub[:] = jnp.broadcast_to(i_ub[:][:WS + 1], (WS + 1, BL))
+            s_reg[:] = jnp.concatenate([
+                jnp.zeros((2, BL), I32),
+                jnp.full((1, BL), 1 << 28, I32),
+                jnp.full((1, BL), SCORE_MIN, I32),
+                jnp.zeros((4, BL), I32)], axis=0)
+
+        qlen_v = qltz[0, 0:1]
+        tlen_v = qltz[0, 1:2]
+        rbz_v = qltz[0, 2:3]
+
+        def refresh_win(rbeg_v):
+            ci = rbeg_v // C_CHUNK                           # (1, BL)
+            off = rbeg_v - ci * C_CHUNK
+            # gather enough consecutive chunks to cover off + W*SLANES codes
+            G = -(-(W * SLANES + C_CHUNK - 1) // C_CHUNK)
+            accs = [jnp.zeros((C_CHUNK, BL), I32) for _ in range(G)]
+            for k in range(NCH):
+                ck = qch[0, k]
+                for g in range(G):
+                    if k >= g:
+                        accs[g] = jnp.where(ci == k - g, ck, accs[g])
+            gbuf = jnp.concatenate(accs, axis=0)             # [G*C, BL]
+            bit = 1
+            while bit < C_CHUNK:
+                rolled = jnp.concatenate([gbuf[bit:], gbuf[:bit]], axis=0)
+                gbuf = jnp.where((off & bit) != 0, rolled, gbuf)
+                bit *= 2
+            win = gbuf[:W * SLANES]
+            return jnp.transpose(win.reshape(SLANES, W, BL), (1, 0, 2))
+
+        for r in range(Rs):
+            i = tc * Rs + r                                  # traced scalar
+            tbase = tseq[0, 0, r:r + 1]                      # (1, BL)
+            rby_i = rby[0, 0, r:r + 1]
+            rbeg = s_reg[REG_RBEG:REG_RBEG + 1]
+            mov = s_reg[REG_MOV:REG_MOV + 1]
+            macc = s_reg[REG_MACC:REG_MACC + 1]
+            planes = [sp[:] for sp in s_planes]
+            ub = s_ub[:]
+            active = i < tlen_v                              # (1, BL)
+
+            cond_move = (mov > 0) & (rbeg + BW < qlen_v)
+            mov_eff = jnp.where(
+                active & cond_move,
+                jnp.minimum(mov, jnp.maximum(0, qlen_v - (rbeg + BW))), 0)
+            rbeg_n = rbeg + mov_eff
+            if mt == MODE_OVERLAP:
+                rh_nomove = jnp.where(rbeg > 0, SCORE_MIN, 0)
+            else:
+                if piecewise < 2:
+                    base_rh = gapo1 + gape1 * i
+                else:
+                    base_rh = jnp.maximum(gapo1 + gape1 * i,
+                                          gapo2 + gape2 * i)
+                inner = jnp.where(i == 0, 0, base_rh)        # scalar
+                rh_nomove = jnp.where(rbeg > 0, SCORE_MIN, inner)
+
+            mx_max = jnp.max(mov_eff)
+
+            def fast_tier(ops):
+                pls, ubv, me = ops
+                o, ub_n = movx_fast(pls, ubv, me)
+                return o, ub_n, rh_move_fast(pls[0], ubv, me)
+
+            def slow_tier(ops):
+                pls, ubv, me = ops
+                o, ub_n = movx_general(pls, ubv, me)
+                return o, ub_n, getscore_general(pls[0], ubv,
+                                                 jnp.maximum(me - 1, 0))
+
+            outs_p, ub0, rh_move = jax.lax.cond(
+                mx_max <= TF, fast_tier, slow_tier, (planes, ub, mov_eff))
+            us0 = outs_p[0]
+            es0 = outs_p[1] if piecewise >= 1 else None
+            qs0 = outs_p[2] if piecewise == 2 else None
+            rh = jnp.where(cond_move, rh_move, rh_nomove)
+
+            # --- query window upkeep ---
+            macc_n = macc + mov_eff
+            trig = (jnp.max(macc_n) > SLACK_BUDGET) | (mx_max > TF)
+
+            @pl.when(jnp.logical_not(trig) & (mx_max > 0))
+            def _shift_win():
+                s_win[:] = plane_shift_fast(s_win[:], mov_eff)
+
+            @pl.when(trig)
+            def _refresh():
+                s_win[:] = refresh_win(rbeg_n)
+
+            macc_n = jnp.where(trig, 0, macc_n)
+            qp, qlast = qprof_from_win(s_win[:], tbase, mtx5)
+
+            us1, es1, qs1, ub1 = row_cal(qp, qlast, us0, es0, qs0, ub0, rh)
+            new_planes = [p for p in (us1, es1, qs1) if p is not None]
+
+            # --- adaptive band + global steering (bsalign.h:4006-4021) ---
+            rbx = band_mov(ub1, i, rbeg_n, qlen_v)
+            if mt == MODE_GLOBAL:
+                m1 = tlen_v - i - 1
+                dd = qlen_v + rbz_v - 1 - rbeg_n - BW
+                quick = (dd >= 0) & (m1 <= _divu(jnp.maximum(dd, 0), rbz_v))
+                movq = 1 + _divu(jnp.maximum(qlen_v - (rbeg_n + BW), 0),
+                                 jnp.maximum(1, m1))
+                mov_n = jnp.where(
+                    quick, movq,
+                    jnp.where(rbeg_n < rby_i - BW, rbx + 1,
+                              jnp.where(rbeg_n > rby_i,
+                                        jnp.maximum(0, rbx - 1), rbx)))
+            else:
+                mov_n = rbx
+
+            # --- best-end tracking (bsalign.h:4023-4032) ---
+            if mt != MODE_GLOBAL:
+                best_s = s_reg[REG_BS:REG_BS + 1]
+                reach = rbeg_n + BW >= qlen_v
+                sc = getscore_general(
+                    us1, ub1, jnp.maximum(qlen_v - 1 - rbeg_n, 0))
+                upd = active & reach & (sc > best_s)
+                s_reg[REG_BS:REG_BS + 1] = jnp.where(upd, sc, best_s)
+                s_reg[REG_BQE:REG_BQE + 1] = jnp.where(
+                    upd, qlen_v - 1, s_reg[REG_BQE:REG_BQE + 1])
+                s_reg[REG_BTE:REG_BTE + 1] = jnp.where(
+                    upd, i, s_reg[REG_BTE:REG_BTE + 1])
+
+            # --- stage per-row outputs ---
+            for po, p1 in zip(pl_outs, new_planes):
+                po[0, r] = p1.astype(jnp.int8)
+            ub_o[0, r] = jnp.concatenate(
+                [ub1, jnp.zeros((UBR - WS - 1, BL), I32)], axis=0)
+            begs_o[0, r:r + 1] = rbeg_n
+            # --- freeze inactive pairs, write back state ---
+            am = active[None]
+            for sp, old, new in zip(s_planes, planes, new_planes):
+                sp[:] = jnp.where(am, new, old)
+            s_ub[:] = jnp.where(active, ub1, ub)
+            s_reg[REG_RBEG:REG_RBEG + 1] = jnp.where(active, rbeg_n, rbeg)
+            s_reg[REG_MOV:REG_MOV + 1] = jnp.where(active, mov_n, mov)
+            s_reg[REG_MACC:REG_MACC + 1] = macc_n
+
+        # final-state outputs (revisited block; last chunk's write wins)
+        fin_us_o[0] = s_us[:]
+        fin_ub_o[0] = jnp.concatenate(
+            [s_ub[:], jnp.zeros((UBR - WS - 1, BL), I32)], axis=0)
+        scal_o[0] = jnp.concatenate([
+            s_reg[REG_BS:REG_BS + 1], s_reg[REG_BQE:REG_BQE + 1],
+            s_reg[REG_BTE:REG_BTE + 1], s_reg[REG_RBEG:REG_RBEG + 1],
+            jnp.zeros((4, BL), I32)], axis=0)
+
+    vm = pltpu.VMEM
+    in_specs = [
+        pl.BlockSpec((1, NCH, C_CHUNK, BL), lambda b, tc: (b, 0, 0, 0),
+                     memory_space=vm),
+        pl.BlockSpec((1, 1, Rs, BL), lambda b, tc: (b, tc, 0, 0),
+                     memory_space=vm),
+        pl.BlockSpec((1, 1, Rs, BL), lambda b, tc: (b, tc, 0, 0),
+                     memory_space=vm),
+        pl.BlockSpec((1, 8, BL), lambda b, tc: (b, 0, 0),
+                     memory_space=vm),                       # qlen/tlen/rbz
+        pl.BlockSpec(memory_space=pltpu.SMEM),               # mtx5 [8,4]
+        pl.BlockSpec(memory_space=vm),                       # init us
+        pl.BlockSpec(memory_space=vm),                       # init es
+        pl.BlockSpec(memory_space=vm),                       # init qs
+        pl.BlockSpec(memory_space=vm),                       # init ub [24,1]
+    ]
+    plane_shape = jax.ShapeDtypeStruct((NB, Tp, W, WS, BL), jnp.int8)
+    plane_spec = pl.BlockSpec((1, Rs, W, WS, BL),
+                              lambda b, tc: (b, tc, 0, 0, 0), memory_space=vm)
+    out_shape = [plane_shape] * n_pl + [
+        jax.ShapeDtypeStruct((NB, Tp, UBR, BL), I32),
+        jax.ShapeDtypeStruct((NB, Tp, BL), I32),
+        jax.ShapeDtypeStruct((NB, W, WS, BL), I32),
+        jax.ShapeDtypeStruct((NB, UBR, BL), I32),
+        jax.ShapeDtypeStruct((NB, 8, BL), I32),
+    ]
+    out_specs = [plane_spec] * n_pl + [
+        pl.BlockSpec((1, Rs, UBR, BL), lambda b, tc: (b, tc, 0, 0),
+                     memory_space=vm),
+        pl.BlockSpec((1, Rs, BL), lambda b, tc: (b, tc, 0), memory_space=vm),
+        pl.BlockSpec((1, W, WS, BL), lambda b, tc: (b, 0, 0, 0),
+                     memory_space=vm),
+        pl.BlockSpec((1, UBR, BL), lambda b, tc: (b, 0, 0), memory_space=vm),
+        pl.BlockSpec((1, 8, BL), lambda b, tc: (b, 0, 0), memory_space=vm),
+    ]
+    scratch = [pltpu.VMEM((W, WS, BL), I32) for _ in range(n_pl)] + [
+        pltpu.VMEM((WS + 1, BL), I32),                       # s_ub
+        pltpu.VMEM((W, SLANES, BL), I32),                    # s_win
+        pltpu.VMEM((8, BL), I32),                            # s_reg
+    ]
+    call = pl.pallas_call(
+        kernel,
+        grid=(NB, TC),
+        in_specs=in_specs,
+        out_shape=out_shape,
+        out_specs=out_specs,
+        scratch_shapes=scratch,
+        interpret=bool(interpret),
+    )
+    return jax.jit(call)
+
+
+def make_forward(T: int, W: int, mode: int, piecewise: int, gapo1: int,
+                 gape1: int, gapo2: int, gape2: int, nt_max: int, nt_min: int,
+                 jit: bool = True, *, BL: int = 128, Rs: int = 16,
+                 interpret=None):
+    """Drop-in replacement for banded8_jax.make_forward using the Pallas
+    kernel. Same call signature and ForwardResult contract."""
+    BW = W * WS
+    mt = mode_type(mode)
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+
+    def prepare(qpad, qlen, tseq, tlen, mtx5, rby, init_us, init_es, init_qs,
+                init_ub):
+        """Pack operands into kernel layout; returns (call, ops, meta)."""
+        qpad = np.asarray(qpad, np.int32)
+        qlen = np.asarray(qlen, np.int32)
+        tseq = np.asarray(tseq, np.int32)
+        tlen = np.asarray(tlen, np.int32)
+        mtx5 = np.asarray(mtx5, np.int32)
+        rby = np.asarray(rby, np.int32)
+        B, QP = qpad.shape
+        Bp = -(-B // BL) * BL
+        NB = Bp // BL
+        Tp = -(-T // Rs) * Rs
+        off_mask = ~np.eye(4, dtype=bool)
+        uniform = bool(np.all(np.diag(mtx5[:4, :4]) == mtx5[0, 0])
+                       and np.all(mtx5[:4, :4][off_mask] == mtx5[0, 1]))
+
+        QPc = -(-(QP + W * SLANES) // C_CHUNK) * C_CHUNK
+        NCH = QPc // C_CHUNK
+        qp_f = np.full((Bp, QPc), 4, np.int32)
+        qp_f[:B, :QP] = qpad
+        qch = np.ascontiguousarray(
+            qp_f.reshape(NB, BL, NCH, C_CHUNK).transpose(0, 2, 3, 1))
+        ts_f = np.zeros((Bp, Tp), np.int32)
+        ts_f[:B, :tseq.shape[1]] = tseq
+        tsk = np.ascontiguousarray(
+            ts_f.reshape(NB, BL, Tp // Rs, Rs).transpose(0, 2, 3, 1))
+        rb_f = np.zeros((Tp, Bp), np.int32)
+        rb_f[:rby.shape[0], :B] = rby
+        rbk = np.ascontiguousarray(
+            rb_f.reshape(Tp // Rs, Rs, NB, BL).transpose(2, 0, 1, 3))
+        ql_f = np.full(Bp, BW + W, np.int32)
+        ql_f[:B] = qlen
+        tl_f = np.ones(Bp, np.int32)
+        tl_f[:B] = tlen
+        rbz_f = (2 * np.maximum(tl_f // np.maximum(ql_f, 1), 1)
+                 ).astype(np.int32)
+        m8 = np.zeros((8, 4), np.int32)
+        m8[:5] = mtx5
+        i_us = np.asarray(init_us)[:, :, 0].astype(np.int32)
+        i_es = (np.asarray(init_es)[:, :, 0].astype(np.int32)
+                if init_es is not None else np.zeros((W, WS), np.int32))
+        i_qs = (np.asarray(init_qs)[:, :, 0].astype(np.int32)
+                if init_qs is not None else np.zeros((W, WS), np.int32))
+        i_ub = np.zeros((UBR, 1), np.int32)
+        i_ub[:WS + 1, 0] = np.asarray(init_ub)[:, 0]
+
+        call = _get_call(T, W, mode, piecewise, gapo1, gape1, gapo2, gape2,
+                         nt_max, nt_min, BL, Rs, NCH, Tp, NB, uniform,
+                         bool(interpret))
+        qltz = np.zeros((NB, 8, BL), np.int32)
+        qltz[:, 0] = ql_f.reshape(NB, BL)
+        qltz[:, 1] = tl_f.reshape(NB, BL)
+        qltz[:, 2] = rbz_f.reshape(NB, BL)
+        ops = (qch, tsk, rbk, qltz, m8, i_us, i_es, i_qs, i_ub)
+        return call, ops, (B, Bp, NB, Tp, qlen, tlen)
+
+    def forward(qpad, qlen, tseq, tlen, mtx5, rby, init_us, init_es, init_qs,
+                init_ub):
+        call, ops, (B, Bp, NB, Tp, qlen, tlen) = prepare(
+            qpad, qlen, tseq, tlen, mtx5, rby, init_us, init_es, init_qs,
+            init_ub)
+        outs = call(*ops)
+        n_pl = 1 if piecewise == 0 else (2 if piecewise == 1 else 3)
+        plane_outs = outs[:n_pl]
+        ub_o, begs, fin_us, fin_ub, scal = outs[n_pl:n_pl + 5]
+
+        def planes_to_host(x):
+            a = np.asarray(x)            # [NB, Tp, W, WS, BL]
+            a = a.transpose(1, 2, 3, 0, 4).reshape(Tp, BW, Bp)
+            return a[:T, :, :B]
+
+        us_p = planes_to_host(plane_outs[0])
+        es_p = planes_to_host(plane_outs[1]) if piecewise >= 1 else None
+        qs_p = planes_to_host(plane_outs[2]) if piecewise == 2 else None
+        ub_np = np.asarray(ub_o).transpose(1, 2, 0, 3).reshape(
+            Tp, UBR, Bp)[:T, :WS + 1, :B]
+        begs_np = np.asarray(begs).transpose(1, 0, 2).reshape(
+            Tp, Bp)[:T, :B]
+        fin_us_np = np.asarray(fin_us).transpose(1, 2, 0, 3).reshape(
+            W, WS, Bp)[:, :, :B]
+        fin_ub_np = np.asarray(fin_ub).transpose(1, 0, 2).reshape(
+            UBR, Bp)[:WS + 1, :B]
+        scal_np = np.asarray(scal).transpose(1, 0, 2).reshape(8, Bp)[:, :B]
+        fin_rbeg = scal_np[3]
+
+        if mt == MODE_GLOBAL:
+            pos = qlen - 1 - fin_rbeg
+            cums = np.cumsum(fin_us_np, axis=0)
+            x = pos % W
+            y = pos // W
+            bi = np.arange(B)
+            score = fin_ub_np[y, bi] + cums[x, y, bi]
+            qe = qlen - 1
+            te = tlen - 1
+        else:
+            score, qe, te = scal_np[0], scal_np[1], scal_np[2]
+        planes = RowPlanes(us_p, es_p, qs_p, ub_np, begs_np)
+        return ForwardResult(planes, score.astype(np.int64), qe, te,
+                             fin_us_np, fin_ub_np, fin_rbeg)
+
+    forward.prepare = prepare
+    return forward
