@@ -1,0 +1,87 @@
+"""Native (C++) host-side components.
+
+rowops: banded striped DP row primitives used by the POA engine's per-node
+row updates. Compiled on first use with g++ -O3; falls back to the NumPy
+oracle transparently if no compiler is available.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_LOCK = threading.Lock()
+_LIB = None
+_TRIED = False
+
+
+def _build(src: str, out: str) -> bool:
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-march=native", src, "-o", out]
+    try:
+        r = subprocess.run(cmd, capture_output=True, timeout=120)
+        if r.returncode != 0:
+            # retry without -march=native (portability)
+            cmd.remove("-march=native")
+            r = subprocess.run(cmd, capture_output=True, timeout=120)
+        return r.returncode == 0
+    except (OSError, subprocess.TimeoutExpired):
+        return False
+
+
+def rowops_lib():
+    """Return the loaded librowops, building it on demand; None if
+    unavailable (BSA_NO_NATIVE=1 disables)."""
+    global _LIB, _TRIED
+    if _LIB is not None or _TRIED:
+        return _LIB
+    with _LOCK:
+        if _LIB is not None or _TRIED:
+            return _LIB
+        _TRIED = True
+        if os.environ.get("BSA_NO_NATIVE"):
+            return None
+        src = os.path.join(_DIR, "rowops.cpp")
+        so = os.path.join(_DIR, "librowops.so")
+        if (not os.path.exists(so)
+                or os.path.getmtime(so) < os.path.getmtime(src)):
+            if not _build(src, so):
+                return None
+        try:
+            lib = ctypes.CDLL(so)
+        except OSError:
+            return None
+        # raw-address args (a.ctypes.data ints) are much cheaper to pass
+        # than POINTER casts at ~400k calls per MSA
+        c_i8p = ctypes.c_void_p
+        c_i64p = ctypes.c_void_p
+        lib.bsa8_row_update.argtypes = [
+            c_i8p, c_i8p, c_i8p, c_i64p,          # prev us/es/qs/ubegs
+            c_i8p, c_i8p, c_i8p, c_i64p,          # cur
+            c_i8p, ctypes.c_int, ctypes.c_int,    # qprof, rbeg, tbase
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,  # W, movx, piecewise
+            ctypes.c_int, ctypes.c_int,           # nt_max, nt_min
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,  # gaps
+            ctypes.c_int, ctypes.c_int64,         # rh_mode, rh_val
+        ]
+        lib.bsa8_row_update.restype = None
+        lib.bsa8_row_merge.argtypes = [
+            c_i8p, c_i8p, c_i8p, c_i64p,
+            c_i8p, c_i8p, c_i8p, c_i64p,
+            c_i8p, c_i8p, c_i8p, c_i64p,
+            ctypes.c_int, ctypes.c_int,
+        ]
+        lib.bsa8_row_merge.restype = None
+        lib.bsa8_getscore.argtypes = [c_i8p, c_i64p, ctypes.c_int,
+                                      ctypes.c_int]
+        lib.bsa8_getscore.restype = ctypes.c_int64
+        c_u8p = ctypes.c_void_p
+        lib.bsa_pedit_forward.argtypes = [
+            c_u8p, c_u8p, c_u8p, c_u8p, c_u8p, c_u8p,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_long,
+        ]
+        lib.bsa_pedit_forward.restype = None
+        _LIB = lib
+        return _LIB

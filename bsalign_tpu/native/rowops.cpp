@@ -1,0 +1,551 @@
+// Native row primitives for the banded striped 8-bit DP.
+//
+// Bit-exact C++ ports of the Python oracle (bsalign_tpu/oracle/banded8.py,
+// itself validated byte-exact against the reference bsalign binary,
+// bsalign.h:2084-3349). These are the host-side hot loops of the POA engine
+// (per-graph-node row updates, bspoa.h:2232-2272): the TPU batches whole
+// pairwise workloads, but POA's per-read incremental graph alignment is
+// latency-bound scalar work where a native library is the right tool.
+//
+// All arithmetic is int8-saturating with int64 stripe anchors, matching the
+// reference's SSE semantics lane for lane. Plain 16-wide loops; g++ -O3
+// autovectorizes them to SIMD.
+//
+// Build: g++ -O3 -shared -fPIC rowops.cpp -o librowops.so  (see build.py)
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+typedef int8_t i8;
+typedef int16_t i16;
+typedef int32_t i32;
+typedef int64_t i64;
+
+static const int WSZ = 16;
+static const int SCORE_EPI8_MIN = -63;   // constants.py SCORE_EPI8_MIN
+static const int SCORE_EPI8_MAX = 63;    // constants.py SCORE_EPI8_MAX
+static const i64 SCORE_MIN_I = -(0x7FFFFFFFLL >> 2);  // constants.SCORE_MIN
+
+static inline i8 adds8(i8 a, i8 b) {
+    int s = (int)a + (int)b;
+    if (s > 127) s = 127;
+    if (s < -128) s = -128;
+    return (i8)s;
+}
+
+static inline i8 subs8(i8 a, i8 b) {
+    int s = (int)a - (int)b;
+    if (s > 127) s = 127;
+    if (s < -128) s = -128;
+    return (i8)s;
+}
+
+static inline i8 max8(i8 a, i8 b) { return a > b ? a : b; }
+
+static inline i8 wrap8(i64 x) { return (i8)(uint8_t)(x & 0xFF); }
+
+static inline int c_div(int a, int b) { return a / b; }  // C truncation
+
+// out[j] = x[j+k], zero fill
+static inline void lane_dn(const i8 *x, int k, i8 *out) {
+    for (int j = 0; j < WSZ; j++) out[j] = (j + k < WSZ) ? x[j + k] : 0;
+}
+
+struct Row {
+    i8 *us;      // [W][16]
+    i8 *es;      // [W][16] or null
+    i8 *qs;      // [W][16] or null
+    i64 *ubegs;  // [17]
+};
+
+// ---- row_movx (oracle row_movx / bsalign.h:2244-2392) ----
+static void row_movx(const Row &prev, Row &cur, int W, int movx,
+                     int piecewise, int nt_max, int nt_min, int gapo1,
+                     int gape1, int gapo2, int gape2) {
+    const int B = W * WSZ;
+    if (movx >= B) {
+        memset(cur.us, 0, (size_t)W * WSZ);
+        if (piecewise) memset(cur.es, 0, (size_t)W * WSZ);
+        if (piecewise == 2) memset(cur.qs, 0, (size_t)W * WSZ);
+        for (int i = 0; i <= WSZ; i++) cur.ubegs[i] = SCORE_MIN_I;
+        return;
+    }
+    if (movx == 0) {
+        memcpy(cur.us, prev.us, (size_t)W * WSZ);
+        if (piecewise) memcpy(cur.es, prev.es, (size_t)W * WSZ);
+        if (piecewise == 2) memcpy(cur.qs, prev.qs, (size_t)W * WSZ);
+        memcpy(cur.ubegs, prev.ubegs, sizeof(i64) * (WSZ + 1));
+        return;
+    }
+    memset(cur.us, 0, (size_t)W * WSZ);
+    if (piecewise) memset(cur.es, 0, (size_t)W * WSZ);
+    if (piecewise == 2) memset(cur.qs, 0, (size_t)W * WSZ);
+    const int cyc = movx / W;
+    const int mov = movx % W;
+    const int div = W - mov;
+    for (int i = 0; i < div; i++)
+        lane_dn(prev.us + (size_t)(i + mov) * WSZ, cyc, cur.us + (size_t)i * WSZ);
+    if (piecewise)
+        for (int i = 0; i < div; i++)
+            lane_dn(prev.es + (size_t)(i + mov) * WSZ, cyc,
+                    cur.es + (size_t)i * WSZ);
+    if (piecewise == 2)
+        for (int i = 0; i < div; i++)
+            lane_dn(prev.qs + (size_t)(i + mov) * WSZ, cyc,
+                    cur.qs + (size_t)i * WSZ);
+    if (mov) {
+        i64 ubt[WSZ];
+        for (int j = 0; j < WSZ; j++) ubt[j] = prev.ubegs[j];
+        for (int i = div; i < W; i++) {
+            const i8 *pu = prev.us + (size_t)(i - div) * WSZ;
+            for (int j = 0; j < WSZ; j++) ubt[j] += pu[j];
+            lane_dn(pu, cyc + 1, cur.us + (size_t)i * WSZ);
+        }
+        if (piecewise)
+            for (int i = div; i < W; i++)
+                lane_dn(prev.es + (size_t)(i - div) * WSZ, cyc + 1,
+                        cur.es + (size_t)i * WSZ);
+        if (piecewise == 2)
+            for (int i = div; i < W; i++)
+                lane_dn(prev.qs + (size_t)(i - div) * WSZ, cyc + 1,
+                        cur.qs + (size_t)i * WSZ);
+        for (int k = 0; k < WSZ - cyc; k++) cur.ubegs[k] = ubt[cyc + k];
+    } else {
+        for (int k = 0; k < WSZ - cyc; k++) cur.ubegs[k] = prev.ubegs[cyc + k];
+    }
+    for (int k = WSZ - cyc; k <= WSZ; k++) cur.ubegs[k] = prev.ubegs[WSZ];
+
+    // mimic insertions on the overhang (bsalign.h:2357-2390)
+    const int d = (piecewise == 2) ? c_div(gapo1 - gapo2, gape2 - gape1)
+                                   : B + 1;
+    const int i0 = B - movx;
+    int a = i0 % W;
+    int a2 = (i0 + d) % W;
+    int b = i0 / W;
+    const int b2 = (i0 + d) / W;
+    i64 c;
+    if (piecewise == 2)
+        c = (i64)((nt_min < gapo2 + gape2 ? nt_min : gapo2 + gape2) - 1 -
+                  nt_max + (gapo2 + gape2));
+    else
+        c = (i64)((nt_min < gapo1 + gape1 ? nt_min : gapo1 + gape1) - 1 -
+                  nt_max + (gapo1 + gape1));
+    cur.us[(size_t)(i0 % W) * WSZ + (i0 / W)] = wrap8(c);
+    a += 1;
+    bool broke = false;
+    while (b < WSZ && b <= b2) {
+        if (b == b2) {
+            c += (i64)(a2 - a) * gape1;
+            while (a < a2) {
+                cur.us[(size_t)a * WSZ + b] = (i8)gape1;
+                a++;
+            }
+            a = a2;
+            if (a2 < W) { broke = true; break; }
+        }
+        c += (i64)(W - a) * gape1;
+        while (a < W) {
+            cur.us[(size_t)a * WSZ + b] = (i8)gape1;
+            a++;
+        }
+        cur.ubegs[b + 1] += c;
+        a = 0;
+        b++;
+    }
+    (void)broke;
+    while (b < WSZ) {
+        c += (i64)(W - a) * gape2;
+        while (a < W) {
+            cur.us[(size_t)a * WSZ + b] = (i8)gape2;
+            a++;
+        }
+        cur.ubegs[b + 1] += c;
+        a = 0;
+        b++;
+    }
+}
+
+// ---- active F-loop (bsalign.h:2639-2652) ----
+static void fpenetration(i8 *f /*in/out [16]*/, const i64 *ubegs, int gape,
+                         int W) {
+    i8 fs[WSZ];
+    fs[0] = (i8)SCORE_EPI8_MIN;
+    for (int j = 1; j < WSZ; j++) fs[j] = f[j - 1];
+    const i64 t = (i64)W * gape;
+    i64 s = t + (i64)fs[0] - (ubegs[1] - ubegs[0]);
+    for (int i = 1; i < WSZ; i++) {
+        if ((i64)fs[i] < s) fs[i] = wrap8(s);
+        s = t + (i64)fs[i] - (ubegs[i + 1] - ubegs[i]);
+    }
+    memcpy(f, fs, WSZ);
+}
+
+static i64 row_cal_tail(const i8 *h, const i8 *u, const i8 *v, Row &cur,
+                        const i64 *prev_ubegs) {
+    i8 v2[WSZ];
+    for (int j = 0; j < WSZ; j++) v2[j] = subs8(h[j], u[j]);
+    for (int i = 1; i <= WSZ; i++)
+        cur.ubegs[i] = prev_ubegs[i] + (i64)v2[i - 1];
+    i8 v3[WSZ];
+    v3[0] = 0;
+    for (int j = 1; j < WSZ; j++) v3[j] = v2[j - 1];
+    for (int j = 0; j < WSZ; j++) cur.us[j] = subs8(cur.us[j], v3[j]);
+    cur.ubegs[0] = prev_ubegs[0] + (i64)cur.us[0];
+    cur.us[0] = 0;
+    (void)v;
+    return cur.ubegs[0];
+}
+
+static inline i64 h0_init(i64 rh, i64 ub0, int qp0, i64 t) {
+    i64 h0 = (rh - ub0) + qp0;
+    if (h0 >= t) {
+        if (h0 > SCORE_EPI8_MAX) h0 = SCORE_EPI8_MAX;
+    } else {
+        h0 = SCORE_EPI8_MIN;
+    }
+    return h0;
+}
+
+// qprof row pointer: qprof + ((size_t)(rbeg + i) * 4 + base) * 16
+#define QPROW(i) (qprof + ((size_t)(rbeg + (i)) * 4 + tbase) * WSZ)
+
+static void piece0_row_cal(int rbeg, int tbase, const Row &prev, Row &cur,
+                           const i8 *qprof, int gape1, int W, i64 rh) {
+    const i8 GapE = (i8)gape1;
+    i8 f[WSZ], h[WSZ], v[WSZ], u[WSZ], e[WSZ];
+    for (int j = 0; j < WSZ; j++) f[j] = (i8)SCORE_EPI8_MIN;
+    const i64 h0 = h0_init(rh, prev.ubegs[0], QPROW(0)[0],
+                           (i64)prev.us[0] + gape1);
+    memcpy(h, QPROW(0), WSZ);
+    h[0] = wrap8(h0);
+    for (int i = 0; i < W; i++) {
+        const i8 *pu = prev.us + (size_t)i * WSZ;
+        for (int j = 0; j < WSZ; j++) {
+            i8 ee = adds8(pu[j], GapE);
+            i8 hh = max8(ee, h[j]);
+            hh = max8(f[j], hh);
+            i8 ff = adds8(hh, GapE);
+            f[j] = subs8(ff, pu[j]);
+        }
+        memcpy(h, QPROW(i + 1), WSZ);
+    }
+    fpenetration(f, prev.ubegs, gape1, W);
+    i8 z[WSZ];
+    memcpy(z, QPROW(0), WSZ);
+    z[0] = wrap8(h0);
+    memset(v, 0, WSZ);
+    memset(u, 0, WSZ);
+    for (int i = 0; i < W; i++) {
+        const i8 *pu = prev.us + (size_t)i * WSZ;
+        i8 *cu = cur.us + (size_t)i * WSZ;
+        for (int j = 0; j < WSZ; j++) {
+            u[j] = pu[j];
+            e[j] = adds8(u[j], GapE);
+            i8 hh = max8(e[j], z[j]);
+            hh = max8(f[j], hh);
+            cu[j] = subs8(hh, v[j]);
+            v[j] = subs8(hh, u[j]);
+            i8 ff = adds8(hh, GapE);
+            f[j] = subs8(ff, u[j]);
+            h[j] = hh;
+        }
+        memcpy(z, QPROW(i + 1), WSZ);
+    }
+    row_cal_tail(h, u, v, cur, prev.ubegs);
+}
+
+static void piece1_row_cal(int rbeg, int tbase, const Row &prev, Row &cur,
+                           const i8 *qprof, int gapo1, int gape1, int W,
+                           i64 rh) {
+    const i8 GapOE = (i8)(gapo1 + gape1);
+    const i8 GapE = (i8)gape1;
+    i8 f[WSZ], h[WSZ], v[WSZ], u[WSZ];
+    for (int j = 0; j < WSZ; j++) f[j] = (i8)SCORE_EPI8_MIN;
+    const i64 h0 = h0_init(rh, prev.ubegs[0], QPROW(0)[0],
+                           (i64)prev.us[0] + (i64)prev.es[0]);
+    memcpy(h, QPROW(0), WSZ);
+    h[0] = wrap8(h0);
+    for (int i = 0; i < W; i++) {
+        const i8 *pu = prev.us + (size_t)i * WSZ;
+        const i8 *pe = prev.es + (size_t)i * WSZ;
+        for (int j = 0; j < WSZ; j++) {
+            i8 ee = adds8(pe[j], pu[j]);
+            i8 hh = max8(ee, h[j]);
+            hh = max8(f[j], hh);
+            i8 ff = adds8(f[j], GapE);
+            hh = adds8(hh, GapOE);
+            ff = max8(ff, hh);
+            f[j] = subs8(ff, pu[j]);
+        }
+        memcpy(h, QPROW(i + 1), WSZ);
+    }
+    fpenetration(f, prev.ubegs, gape1, W);
+    i8 z[WSZ];
+    memcpy(z, QPROW(0), WSZ);
+    z[0] = wrap8(h0);
+    memset(v, 0, WSZ);
+    memset(u, 0, WSZ);
+    for (int i = 0; i < W; i++) {
+        const i8 *pu = prev.us + (size_t)i * WSZ;
+        const i8 *pe = prev.es + (size_t)i * WSZ;
+        i8 *cu = cur.us + (size_t)i * WSZ;
+        i8 *ce = cur.es + (size_t)i * WSZ;
+        for (int j = 0; j < WSZ; j++) {
+            u[j] = pu[j];
+            i8 ee = adds8(pe[j], u[j]);
+            i8 hh = max8(ee, z[j]);
+            hh = max8(f[j], hh);
+            cu[j] = subs8(hh, v[j]);
+            v[j] = subs8(hh, u[j]);
+            ee = adds8(ee, GapE);
+            ee = subs8(ee, hh);
+            ce[j] = max8(ee, GapOE);
+            i8 ff = adds8(f[j], GapE);
+            i8 h2 = adds8(hh, GapOE);
+            ff = max8(ff, h2);
+            f[j] = subs8(ff, u[j]);
+            h[j] = h2;  // oracle mutates h via adds8(h, GapOE); tail sees it
+        }
+        memcpy(z, QPROW(i + 1), WSZ);
+    }
+    for (int j = 0; j < WSZ; j++) h[j] = subs8(h[j], GapOE);
+    row_cal_tail(h, u, v, cur, prev.ubegs);
+}
+
+static void piece2_row_cal(int rbeg, int tbase, const Row &prev, Row &cur,
+                           const i8 *qprof, int gapo1, int gape1, int gapo2,
+                           int gape2, int W, i64 rh) {
+    const i8 GapOE = (i8)(gapo1 + gape1);
+    const i8 GapE = (i8)gape1;
+    const i8 GapQP = (i8)(gapo2 + gape2);
+    const i8 GapP = (i8)gape2;
+    int goq = (int)GapOE - (int)GapQP;
+    if (goq > 127) goq = 127;
+    if (goq < -128) goq = -128;
+    const i8 GapOQ = (i8)goq;
+    i8 f[WSZ], g[WSZ], h[WSZ], v[WSZ], u[WSZ];
+    for (int j = 0; j < WSZ; j++) {
+        f[j] = (i8)SCORE_EPI8_MIN;
+        g[j] = (i8)SCORE_EPI8_MIN;
+    }
+    i64 eq0 = (i64)prev.es[0] > (i64)prev.qs[0] ? prev.es[0] : prev.qs[0];
+    const i64 h0 = h0_init(rh, prev.ubegs[0], QPROW(0)[0],
+                           (i64)prev.us[0] + eq0);
+    memcpy(h, QPROW(0), WSZ);
+    h[0] = wrap8(h0);
+    for (int i = 0; i < W; i++) {
+        const i8 *pu = prev.us + (size_t)i * WSZ;
+        const i8 *pe = prev.es + (size_t)i * WSZ;
+        const i8 *pq = prev.qs + (size_t)i * WSZ;
+        for (int j = 0; j < WSZ; j++) {
+            i8 ee = adds8(pe[j], pu[j]);
+            i8 qq = adds8(pq[j], pu[j]);
+            i8 hh = max8(ee, h[j]);
+            hh = max8(qq, hh);
+            hh = max8(f[j], hh);
+            hh = max8(g[j], hh);
+            i8 ff = adds8(f[j], GapE);
+            hh = adds8(hh, GapOE);
+            ff = max8(ff, hh);
+            f[j] = subs8(ff, pu[j]);
+            i8 gg = adds8(g[j], GapP);
+            hh = subs8(hh, GapOQ);
+            gg = max8(gg, hh);
+            g[j] = subs8(gg, pu[j]);
+        }
+        memcpy(h, QPROW(i + 1), WSZ);
+    }
+    fpenetration(f, prev.ubegs, gape1, W);
+    fpenetration(g, prev.ubegs, gape2, W);
+    i8 z[WSZ];
+    memcpy(z, QPROW(0), WSZ);
+    z[0] = wrap8(h0);
+    memset(v, 0, WSZ);
+    memset(u, 0, WSZ);
+    for (int i = 0; i < W; i++) {
+        const i8 *pu = prev.us + (size_t)i * WSZ;
+        const i8 *pe = prev.es + (size_t)i * WSZ;
+        const i8 *pq = prev.qs + (size_t)i * WSZ;
+        i8 *cu = cur.us + (size_t)i * WSZ;
+        i8 *ce = cur.es + (size_t)i * WSZ;
+        i8 *cq = cur.qs + (size_t)i * WSZ;
+        for (int j = 0; j < WSZ; j++) {
+            u[j] = pu[j];
+            i8 ee = adds8(pe[j], u[j]);
+            i8 hh = max8(ee, z[j]);
+            i8 qq = adds8(pq[j], u[j]);
+            hh = max8(qq, hh);
+            hh = max8(f[j], hh);
+            hh = max8(g[j], hh);
+            cu[j] = subs8(hh, v[j]);
+            v[j] = subs8(hh, u[j]);
+            ee = adds8(ee, GapE);
+            ee = subs8(ee, hh);
+            ce[j] = max8(ee, GapOE);
+            qq = adds8(qq, GapP);
+            qq = subs8(qq, hh);
+            cq[j] = max8(qq, GapQP);
+            i8 ff = adds8(f[j], GapE);
+            i8 h2 = adds8(hh, GapOE);
+            ff = max8(ff, h2);
+            f[j] = subs8(ff, u[j]);
+            i8 gg = adds8(g[j], GapP);
+            i8 h3 = subs8(h2, GapOQ);  // oracle: h = subs8(adds8(h,GapOE),GapOQ)
+            gg = max8(gg, h3);
+            g[j] = subs8(gg, u[j]);
+            h[j] = h3;
+        }
+        memcpy(z, QPROW(i + 1), WSZ);
+    }
+    for (int j = 0; j < WSZ; j++) h[j] = subs8(h[j], GapQP);
+    row_cal_tail(h, u, v, cur, prev.ubegs);
+}
+
+static i64 getscore_row(const Row &st, int W, int pos) {
+    const int x = pos % W;
+    const int y = pos / W;
+    i64 s = st.ubegs[y];
+    for (int i = 0; i <= x; i++) s += st.us[(size_t)i * WSZ + y];
+    return s;
+}
+
+extern "C" {
+
+// rh_mode: 0 = rh_val as given; 1 = shifted.ubegs[0] (POA row chain);
+//          2 = getscore(prev, rh_val) BEFORE movx (pairwise row loop)
+void bsa8_row_update(const i8 *pus, const i8 *pes, const i8 *pqs,
+                     const i64 *pub, i8 *cus, i8 *ces, i8 *cqs, i64 *cub,
+                     const i8 *qprof, int rbeg, int tbase, int W, int movx,
+                     int piecewise, int nt_max, int nt_min, int gapo1,
+                     int gape1, int gapo2, int gape2, int rh_mode,
+                     i64 rh_val) {
+    Row prev{const_cast<i8 *>(pus), const_cast<i8 *>(pes),
+             const_cast<i8 *>(pqs), const_cast<i64 *>(pub)};
+    thread_local std::vector<i8> sbuf;
+    thread_local std::vector<i64> subuf;
+    sbuf.resize((size_t)W * WSZ * 3);
+    subuf.resize(WSZ + 1);
+    Row shifted{sbuf.data(), piecewise ? sbuf.data() + (size_t)W * WSZ : nullptr,
+                piecewise == 2 ? sbuf.data() + (size_t)2 * W * WSZ : nullptr,
+                subuf.data()};
+    i64 rh = rh_val;
+    if (rh_mode == 2) rh = getscore_row(prev, W, (int)rh_val);
+    row_movx(prev, shifted, W, movx, piecewise, nt_max, nt_min, gapo1, gape1,
+             gapo2, gape2);
+    if (rh_mode == 1) rh = shifted.ubegs[0];
+    Row cur{cus, ces, cqs, cub};
+    if (piecewise == 0)
+        piece0_row_cal(rbeg, tbase, shifted, cur, qprof, gape1, W, rh);
+    else if (piecewise == 1)
+        piece1_row_cal(rbeg, tbase, shifted, cur, qprof, gapo1, gape1, W, rh);
+    else
+        piece2_row_cal(rbeg, tbase, shifted, cur, qprof, gapo1, gape1, gapo2,
+                       gape2, W, rh);
+}
+
+// Elementwise max-merge of two rows (bsalign.h:2474-2616, int32-exact form)
+void bsa8_row_merge(const i8 *us0, const i8 *es0, const i8 *qs0,
+                    const i64 *ub0, const i8 *us1, const i8 *es1,
+                    const i8 *qs1, const i64 *ub1, i8 *uso, i8 *eso, i8 *qso,
+                    i64 *ubo, int W, int piecewise) {
+    i64 r0[WSZ], r1[WSZ], r2[WSZ];
+    for (int j = 0; j < WSZ; j++) {
+        r0[j] = ub0[j];
+        r1[j] = ub1[j];
+        r2[j] = r0[j] > r1[j] ? r0[j] : r1[j];
+        ubo[j] = r2[j];
+    }
+    ubo[WSZ] = ub0[WSZ] > ub1[WSZ] ? ub0[WSZ] : ub1[WSZ];
+    for (int i = 0; i < W; i++) {
+        const size_t o = (size_t)i * WSZ;
+        for (int j = 0; j < WSZ; j++) {
+            r0[j] += us0[o + j];
+            r1[j] += us1[o + j];
+            i64 rm = r0[j] > r1[j] ? r0[j] : r1[j];
+            i64 du = rm - r2[j];
+            if (du > 127) du = 127;
+            if (du < -128) du = -128;
+            uso[o + j] = (i8)du;
+            r2[j] = rm;
+            if (piecewise) {
+                i64 e0 = r0[j] + es0[o + j];
+                i64 e1 = r1[j] + es1[o + j];
+                i64 em = (e0 > e1 ? e0 : e1) - rm;
+                if (em > 127) em = 127;
+                if (em < -128) em = -128;
+                eso[o + j] = (i8)em;
+            }
+            if (piecewise == 2) {
+                i64 q0 = r0[j] + qs0[o + j];
+                i64 q1 = r1[j] + qs1[o + j];
+                i64 qm = (q0 > q1 ? q0 : q1) - rm;
+                if (qm > 127) qm = 127;
+                if (qm < -128) qm = -128;
+                qso[o + j] = (i8)qm;
+            }
+        }
+    }
+}
+
+i64 bsa8_getscore(const i8 *us, const i64 *ubegs, int W, int pos) {
+    Row st{const_cast<i8 *>(us), nullptr, nullptr, const_cast<i64 *>(ubegs)};
+    return getscore_row(st, W, pos);
+}
+
+}  // extern "C"
+
+// ---- remsa pedit forward pass (bspoa.h:3735-3960 / poa/core._pedit_rd) ----
+// Anti-diagonal max-match DP of one read vs the MSA column-count profile,
+// unsigned-8-bit saturating. Fills matrix0/matrix1 diagonals; the Python
+// caller walks the traceback (it mutates the POA graph).
+extern "C" void bsa_pedit_forward(uint8_t *matrix0, uint8_t *matrix1,
+                                  const uint8_t *seqs0, const uint8_t *seqs1,
+                                  const uint8_t *mats0, const uint8_t *mats1,
+                                  int mlen, int mbeg, int mend, int bw,
+                                  int HW, int rowlen, long pad) {
+    const size_t idx0 = (size_t)(mbeg + mbeg) * rowlen;
+    memset(matrix0 + idx0, 0, rowlen);
+    memset(matrix1 + idx0, 0, rowlen);
+    matrix0[idx0 + 1 + HW - 1] = 255;
+    matrix1[idx0 + 1 + HW] = 255;
+    int x = mbeg, y = mbeg;
+    for (;;) {
+        const int moff = x + y;
+        const int mdir = moff & 1;
+        const int midx = (x - y - mdir) / 2 + HW;
+        const int xb = x - midx;
+        const int yb = mlen - 1 - (y + midx);
+        const int dirn = (x + y) & 1;
+        const uint8_t *p0 = matrix0 + (size_t)rowlen * moff;
+        const uint8_t *p1 = matrix1 + (size_t)rowlen * moff;
+        uint8_t *c0 = matrix0 + (size_t)rowlen * (moff + 1);
+        uint8_t *c1 = matrix1 + (size_t)rowlen * (moff + 1);
+        const uint8_t *sc = seqs1 + HW + yb;   // cns-side bases
+        const uint8_t *sr = seqs0 + HW + xb;   // read-side bases
+        const uint8_t *pu = dirn ? p0 + 2 : p0 + 1;
+        const uint8_t *pv = dirn ? p1 + 1 : p1;
+        for (int i = 0; i < bw; i++) {
+            const uint8_t cb = sc[i];
+            const uint8_t rb = sr[i];
+            int xs = (cb < 4) ? mats0[(size_t)cb * pad + HW + xb + i] : 0;
+            int ys = (rb < 4) ? mats1[(size_t)rb * pad + HW + yb + i] : 0;
+            int h = xs + ys;
+            if (h > 255) h = 255;
+            const int u = pu[i];
+            const int v = pv[i];
+            if (u > h) h = u;
+            if (v > h) h = v;
+            c0[1 + i] = (uint8_t)(h - v);
+            c1[1 + i] = (uint8_t)(h - u);
+        }
+        if (dirn) {
+            c0[0] = 255; c1[0] = 0; c0[1 + bw] = 0; c1[1 + bw] = 0;
+            y++;
+        } else {
+            c0[0] = 0; c1[0] = 0; c0[1 + bw] = 0; c1[1 + bw] = 255;
+            x++;
+        }
+        if (x >= mend) break;
+    }
+}

@@ -1,0 +1,79 @@
+"""ctypes wrappers exposing librowops to the POA engine.
+
+Each call replaces ~100 tiny NumPy ops in the oracle row primitives with one
+native invocation (same bit-exact semantics; see rowops.cpp). Falls back to
+None when the library is unavailable — callers keep the NumPy path.
+"""
+from __future__ import annotations
+
+import ctypes
+
+import numpy as np
+
+from ..oracle.banded8 import WS, RowState
+from . import rowops_lib
+
+
+
+RH_GIVEN = 0
+RH_UBEGS0 = 1      # rh = shifted.ubegs[0] (POA per-node row chain)
+RH_PRE_GETSCORE = 2  # rh = getscore(prev, rh_val) before the band shift
+
+
+def _p8(a):
+    return a.ctypes.data if a is not None else None
+
+
+def _p64(a):
+    return a.ctypes.data
+
+
+def available() -> bool:
+    return rowops_lib() is not None
+
+
+def row_update(prev: RowState, W: int, movx: int, piecewise: int,
+               qprof: np.ndarray, rbeg: int, base: int, nt_max: int,
+               nt_min: int, gapo1: int, gape1: int, gapo2: int, gape2: int,
+               rh_mode: int, rh_val: int) -> RowState:
+    """Fused row_movx + row_cal into a fresh RowState (bit-exact vs the
+    oracle pair of calls)."""
+    lib = rowops_lib()
+    cur = RowState(W, piecewise)
+    lib.bsa8_row_update(
+        _p8(prev.us), _p8(prev.es), _p8(prev.qs), _p64(prev.ubegs),
+        _p8(cur.us), _p8(cur.es), _p8(cur.qs), _p64(cur.ubegs),
+        _p8(qprof), rbeg, base, W, movx, piecewise, nt_max, nt_min,
+        gapo1, gape1, gapo2, gape2, rh_mode, rh_val)
+    return cur
+
+
+def row_merge(st0: RowState, st1: RowState, W: int,
+              piecewise: int) -> RowState:
+    lib = rowops_lib()
+    out = RowState(W, piecewise)
+    lib.bsa8_row_merge(
+        _p8(st0.us), _p8(st0.es), _p8(st0.qs), _p64(st0.ubegs),
+        _p8(st1.us), _p8(st1.es), _p8(st1.qs), _p64(st1.ubegs),
+        _p8(out.us), _p8(out.es), _p8(out.qs), _p64(out.ubegs),
+        W, piecewise)
+    return out
+
+
+def getscore(st: RowState, W: int, pos: int) -> int:
+    lib = rowops_lib()
+    return int(lib.bsa8_getscore(_p8(st.us), _p64(st.ubegs), W, pos))
+
+
+def _pu8(a):
+    return a.ctypes.data
+
+
+def pedit_forward(matrix0, matrix1, seqs0, seqs1, mats0, mats1, mlen, mbeg,
+                  mend, bw, HW, rowlen) -> None:
+    """Native anti-diagonal forward pass of the remsa pedit DP (fills the
+    matrix diagonals in place; traceback stays in Python)."""
+    lib = rowops_lib()
+    lib.bsa_pedit_forward(_pu8(matrix0), _pu8(matrix1), _pu8(seqs0),
+                          _pu8(seqs1), _pu8(mats0), _pu8(mats1), mlen, mbeg,
+                          mend, bw, HW, rowlen, mats0.shape[1])

@@ -23,6 +23,7 @@ import numpy as np
 from ..cigar import AlnResult
 from ..constants import (MODE_GLOBAL, MODE_OVERLAP, SCORE_MIN, WORDSIZE,
                          mode_type, roundup)
+from ..native import rowops as NR
 from ..oracle import banded8 as B8
 from ..oracle import edit as OE
 from .csort import c_sort_array, shuffle_array
@@ -519,13 +520,11 @@ class BSPOA:
     def _row_update(self, par: BSPOAPar, qprof, mm1: int, mm2: int, toff: int,
                     qoff1: int, qoff2: int, base: int):
         W = self.bandwidth // WS
-        shifted = B8.row_movx(self.rows[mm1], W, qoff2 - qoff1, self.piecewise,
-                              par.M + par.refbonus + 1, par.X, par.O, par.E,
-                              par.Q, par.P)
         if qoff1 == qoff2:
             if qoff1:
-                rh = SCORE_MIN
+                rh_mode, rh = NR.RH_GIVEN, SCORE_MIN
             else:
+                rh_mode = NR.RH_GIVEN
                 if mode_type(par.alnmode) == MODE_OVERLAP or toff == 0:
                     rh = 0
                 elif self.piecewise < 2:
@@ -533,9 +532,20 @@ class BSPOA:
                 else:
                     rh = max(par.O + par.E * toff, par.Q + par.P * toff)
         elif qoff1 + W * WS >= qoff2:
-            rh = int(shifted.ubegs[0])
+            rh_mode, rh = NR.RH_UBEGS0, 0
         else:
-            rh = SCORE_MIN
+            rh_mode, rh = NR.RH_GIVEN, SCORE_MIN
+        if NR.available():
+            self.rows[mm2] = NR.row_update(
+                self.rows[mm1], W, qoff2 - qoff1, self.piecewise, qprof,
+                qoff2, base, par.M + par.refbonus + 1, par.X, par.O, par.E,
+                par.Q, par.P, rh_mode, rh)
+            return
+        shifted = B8.row_movx(self.rows[mm1], W, qoff2 - qoff1, self.piecewise,
+                              par.M + par.refbonus + 1, par.X, par.O, par.E,
+                              par.Q, par.P)
+        if rh_mode == NR.RH_UBEGS0:
+            rh = int(shifted.ubegs[0])
         cur = B8.RowState(W, self.piecewise)
         B8.row_cal(qoff2, base, shifted, cur, qprof, par.O, par.E, par.Q,
                    par.P, W, rh, self.piecewise)
@@ -585,7 +595,9 @@ class BSPOA:
                     self._row_update(par, qp, u.mmidx, mmidx, v.mpos, u.rpos,
                                      v.rpos, v.base)
                     if v.vst:
-                        self.rows[v.mmidx] = B8.row_merge(
+                        merge = (NR.row_merge if NR.available()
+                                 else B8.row_merge)
+                        self.rows[v.mmidx] = merge(
                             self.rows[1], self.rows[v.mmidx], W, self.piecewise)
                     v.vst += 1
                     if v.vst == v.nct:
@@ -1511,6 +1523,12 @@ class BSPOA:
                 out[m] = seg[v][m]
             return out
 
+        if NR.available():
+            NR.pedit_forward(matrix0, matrix1, seqs0, seqs1, mats0, mats1,
+                             mlen, mbeg, mend, bw, HW, rowlen)
+            return self._pedit_traceback(rid, qb, qe, matrix0, matrix1,
+                                         seqs0, seqs1, mats0, mats1, mlen,
+                                         mbeg, mend, bw, HW, rowlen)
         # init (bspoa.h:3748-3758)
         idx0 = (mbeg + mbeg) * rowlen
         matrix0[idx0:idx0 + rowlen] = 0
@@ -1557,7 +1575,24 @@ class BSPOA:
                 x += 1
             if x >= mend:
                 break
-        # traceback (bspoa.h:3962-4037)
+        return self._pedit_traceback(rid, qb, qe, matrix0, matrix1, seqs0,
+                                     seqs1, mats0, mats1, mlen, mbeg, mend,
+                                     bw, HW, rowlen)
+
+    def _pedit_traceback(self, rid, qb, qe, matrix0, matrix1, seqs0, seqs1,
+                         mats0, mats1, mlen, mbeg, mend, bw, HW, rowlen):
+        """Traceback over the pedit diagonals (bspoa.h:3962-4037); merges
+        matched read nodes into the MSA-rail rings."""
+        g = self.g
+
+        def prepare(x, y):
+            moff = x + y
+            mdir = moff & 1
+            midx = (x - y - mdir) // 2 + HW
+            xb = x - midx
+            yb = mlen - 1 - (y + midx)
+            return moff, mdir, midx, xb, yb
+
         scr = 0
         xi = yi = mend - 1
         roff = qe
