@@ -423,7 +423,10 @@ def _get_call(T, W, mode, piecewise, gapo1, gape1, gapo2, gape2, nt_max,
         us1_0 = _subs8(us1[0], v3)
         ub_0 = ub0[0:1] + us1_0[0:1]
         us1_0 = jnp.concatenate([jnp.zeros((1, BL), I32), us1_0[1:]], axis=0)
-        us1 = jnp.concatenate([us1_0[None], us1[1:]], axis=0)
+        if W > 1:
+            us1 = jnp.concatenate([us1_0[None], us1[1:]], axis=0)
+        else:
+            us1 = us1_0[None]
         ub1 = jnp.concatenate([ub_0, ub_hi], axis=0)
         return us1, es1, qs1, ub1
 

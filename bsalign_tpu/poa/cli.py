@@ -31,6 +31,7 @@ def run_poa(argv):
     ap.add_argument("-Q", default=None)
     ap.add_argument("-P", default=None)
     ap.add_argument("-G", action="append", default=None)
+    ap.add_argument("-T", action="append", default=None)
     ap.add_argument("-L", action="store_true")
     ap.add_argument("-C", action="store_true")
     ap.add_argument("-R", type=int, default=1)
@@ -47,6 +48,17 @@ def run_poa(argv):
                            ("Q", args.Q, -1), ("P", args.P, -1)):
         if val is not None:
             setattr(par, attr, neg * int(val.split(",")[0]))
+    msabeg, msaend, msacnt = 0, -1, 3
+    if args.T:
+        # debug triggers (main.c:477-497): msabeg/msaend/msacnt -> DOT dump
+        for m in re.finditer(r"([a-zA-Z_]+)=([.0-9]+)", ",".join(args.T)):
+            tag, val = m.group(1).lower(), int(float(m.group(2)))
+            if tag == "msabeg":
+                msabeg = val
+            elif tag == "msaend":
+                msaend = val
+            elif tag == "msacnt":
+                msacnt = val
     if args.G:
         for m in re.finditer(r"([a-zA-Z_]+)=([.0-9]+)", ",".join(args.G)):
             tag, val = m.group(1).lower(), m.group(2)
@@ -70,4 +82,8 @@ def run_poa(argv):
     mline = 0 if args.L else 1
     g.print_msa("BSALIGN", sys.stdout, mline * 100, 1 if args.C else 0)
     g.print_snvs("BSALIGN", sys.stdout)
+    if msaend >= msabeg:
+        from .extras import print_dot
+        with open("1.dot", "w") as f:
+            print_dot(g, f, msabeg, msaend, msacnt)
     return 0
