@@ -20,6 +20,22 @@ from ..constants import (MODE_EXTEND, MODE_GLOBAL, MODE_KMER, MODE_OVERLAP,
 from ..oracle import edit as OE
 from ..ops import edit_jax as K
 
+
+def _engine():
+    """Pallas Mosaic kernel on TPU, XLA engine elsewhere
+    (BSA_FORWARD_ENGINE=jax|pallas overrides)."""
+    import os
+
+    import jax
+
+    from ..ops import edit_pallas
+    sel = os.environ.get("BSA_FORWARD_ENGINE")
+    if sel == "jax":
+        return K
+    if sel == "pallas":
+        return edit_pallas
+    return edit_pallas if jax.default_backend() == "tpu" else K
+
 MAX_B4 = 0x7FFFFFFF
 DEVICE_CHUNK = 256
 
@@ -96,7 +112,7 @@ def _edit_bucket(qseqs, tseqs, mode, bandwidth, banded
         tpad[b, : tlens[b]] = tseqs[b]
         rbegs[:, b], movxs[:, b] = _band_trajectory(
             int(qlens[b]), int(tlens[b]), bw, banded, T)
-    fwd = K.make_edit_forward(T, NW, mode, NWQ, True)
+    fwd = _engine().make_edit_forward(T, NW, mode, NWQ, banded)
     res = fwd(qeq, qlens, tpad, tlens, rbegs, movxs)
     pm_t = np.asarray(res.pm)
     pp_t = np.asarray(res.pp)
