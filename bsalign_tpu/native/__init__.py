@@ -83,5 +83,15 @@ def rowops_lib():
             ctypes.c_int, ctypes.c_int, ctypes.c_long,
         ]
         lib.bsa_pedit_forward.restype = None
+        lib.bsa_cns_forward.argtypes = [
+            ctypes.c_void_p, ctypes.c_long, ctypes.c_int, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_double,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ]
+        lib.bsa_cns_forward.restype = None
+        lib.bsa_edit_row.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                     ctypes.c_int, ctypes.c_int,
+                                     ctypes.c_void_p]
+        lib.bsa_edit_row.restype = None
         _LIB = lib
         return _LIB

@@ -13,6 +13,7 @@
 //
 // Build: g++ -O3 -shared -fPIC rowops.cpp -o librowops.so  (see build.py)
 
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <vector>
@@ -547,5 +548,124 @@ extern "C" void bsa_pedit_forward(uint8_t *matrix0, uint8_t *matrix1,
             x++;
         }
         if (x >= mend) break;
+    }
+}
+
+// ---- HMM consensus forward scan (cns_bspoa, bspoa.h:3457-3733) ----
+// Per-column 5-state DP over all reads: sc[a][pos][e] transition scores,
+// sc[a][pos][5] log-sum-exp marginal, btm/lbm backtrace + last-cns-base.
+// The Python caller does the Viterbi backtrace and QLT/ALT qualities.
+static inline double sum_log2(double s, double v) {
+    const double MINLOG = -1000000000.0;
+    if (v == MINLOG) return s;
+    if (s == MINLOG) { s = v; return s; }
+    double delta;
+    if (v > s) {
+        if (v >= s + 40) return v;
+        delta = s - v;
+        s = v;
+    } else {
+        if (s >= v + 40) return s;
+        delta = v - s;
+    }
+    return s + log(1 + exp(delta));
+}
+
+extern "C" void bsa_cns_forward(const uint8_t *colmat, long mlen, int mrow,
+                                int nseq, const uint8_t *dptable,
+                                const double *dpvals, double min_freq,
+                                double *sc, uint8_t *btm, uint8_t *lbm) {
+    const double MINLOG = -1000000000.0;
+    const long SP = mlen + 1;                 // sc stride: [5][SP][6]
+    std::vector<uint8_t> bs((size_t)10 * nseq, 0);
+    std::vector<int> rid_l(nseq), b_l(nseq);
+    for (int a = 0; a < 5; a++) {
+        double *s0 = sc + ((size_t)a * SP) * 6;
+        for (int k = 0; k < 5; k++) s0[k] = 0.0;
+        s0[5] = (a == 4) ? 0.0 : MINLOG;
+        btm[(size_t)a * SP] = 4;
+        lbm[(size_t)a * SP] = 4;
+    }
+    for (long pos = 0; pos < mlen; pos++) {
+        const uint8_t *qs = colmat + (size_t)pos * mrow;
+        long cnts[6] = {0, 0, 0, 0, 0, 0};
+        int nrb = 0;
+        for (int rid = 0; rid < nseq; rid++) {
+            int b = qs[rid];
+            if (b > 4) continue;
+            cnts[5]++;
+            cnts[b]++;
+            rid_l[nrb] = rid;
+            b_l[nrb] = b;
+            nrb++;
+        }
+        for (int i = 0; i < 5; i++)
+            if (cnts[i] < (long)(min_freq * cnts[5])) cnts[i] = 0;
+        const long dpos = pos + 1;
+        double errs[10];
+        for (int a = 0; a < 5; a++) {
+            double *sa = sc + ((size_t)a * SP + dpos) * 6;
+            if (cnts[5] && cnts[a] == 0) {
+                for (int k = 0; k < 6; k++) sa[k] = MINLOG;
+                btm[(size_t)a * SP + dpos] = 4;
+                lbm[(size_t)a * SP + dpos] = 4;
+                memset(&bs[(size_t)(a + 5) * nseq], 0, nseq);
+                continue;
+            }
+            for (int e = 0; e < 5; e++) {
+                const double *se = sc + ((size_t)e * SP + dpos - 1) * 6;
+                int c = lbm[(size_t)e * SP + dpos - 1];
+                if (cnts[5] && se[5] == MINLOG) {
+                    sa[e] = MINLOG;
+                    errs[e] = MINLOG;
+                } else {
+                    double tot = 0.0;
+                    const int base_i = a + c * 25;
+                    const uint8_t *bse = &bs[(size_t)e * nseq];
+                    for (int k = 0; k < nrb; k++) {
+                        int d = bse[rid_l[k]];
+                        tot += dpvals[dptable[base_i + b_l[k] * 5 + d * 125]
+                                      >> 3];
+                    }
+                    sa[e] = tot;
+                    errs[e] = tot + se[5];
+                }
+                errs[e + 5] = errs[e];
+            }
+            double s5 = MINLOG;
+            for (int e = 5; e < 10; e++) s5 = sum_log2(s5, errs[e]);
+            sa[5] = s5;
+            int bt = 4;
+            for (int e = 0; e < 4; e++)
+                if (errs[e] > errs[bt]) bt = e;
+            btm[(size_t)a * SP + dpos] = (uint8_t)bt;
+            int lb_prev = lbm[(size_t)bt * SP + dpos - 1];
+            lbm[(size_t)a * SP + dpos] = (uint8_t)(a < 4 ? a : lb_prev);
+            uint8_t *bsa = &bs[(size_t)(a + 5) * nseq];
+            const uint8_t *bsbt = &bs[(size_t)bt * nseq];
+            for (int rid = 0; rid < nseq; rid++) {
+                int b = qs[rid];
+                if (b > 4) {
+                    bsa[rid] = 4;
+                    continue;
+                }
+                int f = dptable[a + b * 5 + lb_prev * 25 + bsbt[rid] * 125];
+                bsa[rid] = (uint8_t)(f & 0x7);
+            }
+        }
+        memcpy(&bs[0], &bs[(size_t)5 * nseq], (size_t)5 * nseq);
+    }
+}
+
+// ---- edit-distance delta row (striped_seqedit truth tables,
+// bsalign.h:723-765; oracle/edit._row_trans) ----
+extern "C" void bsa_edit_row(const i8 *u_prev, const uint8_t *match, int n,
+                             int v_in, i8 *u_new) {
+    int v = v_in;
+    for (int x = 0; x < n; x++) {
+        const int up = u_prev[x];
+        const int h = (match[x] || up == -1 || v == -1) ? 0 : 1;
+        u_new[x] = (i8)(h - v);
+        v = h - up;
     }
 }

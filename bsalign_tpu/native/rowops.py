@@ -77,3 +77,28 @@ def pedit_forward(matrix0, matrix1, seqs0, seqs1, mats0, mats1, mlen, mbeg,
     lib.bsa_pedit_forward(_pu8(matrix0), _pu8(matrix1), _pu8(seqs0),
                           _pu8(seqs1), _pu8(mats0), _pu8(mats1), mlen, mbeg,
                           mend, bw, HW, rowlen, mats0.shape[1])
+
+
+def cns_forward(colmat, nseq, dptable, dpvals, min_freq):
+    """Native HMM-consensus forward scan; returns (sc, btm, lbm)."""
+    import numpy as _np
+    lib = rowops_lib()
+    mlen, mrow = colmat.shape
+    sc = _np.zeros((5, mlen + 1, 6), _np.float64)
+    btm = _np.zeros((5, mlen + 1), _np.uint8)
+    lbm = _np.zeros((5, mlen + 1), _np.uint8)
+    lib.bsa_cns_forward(colmat.ctypes.data, mlen, mrow, nseq,
+                        dptable.ctypes.data, dpvals.ctypes.data,
+                        float(min_freq), sc.ctypes.data, btm.ctypes.data,
+                        lbm.ctypes.data)
+    return sc, btm, lbm
+
+
+def edit_row(u_prev, match, v_in):
+    """Native edit delta-row transition (oracle/edit._row_trans)."""
+    import numpy as _np
+    lib = rowops_lib()
+    u_new = _np.empty(len(u_prev), _np.int8)
+    lib.bsa_edit_row(u_prev.ctypes.data, match.ctypes.data, len(u_prev),
+                     int(v_in), u_new.ctypes.data)
+    return u_new

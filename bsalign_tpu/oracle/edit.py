@@ -26,6 +26,10 @@ def _row_trans(u_prev: np.ndarray, match: np.ndarray, v_in: int) -> np.ndarray:
     """One edit-DP row in delta form (truth tables bsalign.h:723-765):
     h = 0 if (match or u_prev==-1 or v==-1) else 1; u' = h - v; v' = h - u_prev.
     """
+    from ..native import rowops as _NR
+    if _NR.available():
+        return _NR.edit_row(np.ascontiguousarray(u_prev),
+                            np.ascontiguousarray(match, np.uint8), v_in)
     n = len(u_prev)
     u_new = np.empty(n, dtype=np.int8)
     v = v_in

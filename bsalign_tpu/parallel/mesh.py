@@ -55,3 +55,24 @@ def make_sharded_forward(T, W, mode, piecewise, gapo1, gape1, gapo2, gape2,
         sh(None, d),            # init_ub
     )
     return jax.jit(fwd, in_shardings=in_sh)
+
+
+def make_sharded_edit_forward(T, NW, mode, NWQ, win_chunked, mesh: Mesh):
+    """Jit the bit-parallel edit forward with the batch sharded on the mesh
+    data axis (layouts: qeq [4,B,NWQ], tseq [B,T], rbegs/movxs [T,B])."""
+    from ..ops import edit_jax as KE
+    fwd = KE.make_edit_forward(T, NW, mode, NWQ, win_chunked)
+
+    def sh(*spec):
+        return NamedSharding(mesh, P(*spec))
+
+    d = DATA_AXIS
+    in_sh = (
+        sh(None, d, None),      # qeq
+        sh(d),                  # qlen
+        sh(d, None),            # tseq
+        sh(d),                  # tlen
+        sh(None, d),            # rbegs
+        sh(None, d),            # movxs
+    )
+    return jax.jit(fwd, in_shardings=in_sh)

@@ -1039,28 +1039,10 @@ class BSPOA:
         g.nodes[g.HEAD].cpos = 0
         g.nodes[g.TAIL].cpos = len(self.cns)
 
-    def cns_call(self) -> float:
-        """5-state HMM consensus + QLT/ALT qualities (bspoa.h:3457-3733)."""
-        g = self.g
-        min_freq_calq = 0.1
-        nseq = min(self.nmsa, self.nrds)
-        nmax = self.nrds
-        nall = nseq if self.nseq == 0 else self.nseq
-        mlen = len(self.msaidxs)
-        log10 = math.log(10)
-        # dps[a][pos]: sc[6], bt, lb
-        sc = np.zeros((5, mlen + 1, 6), np.float64)
-        btm = np.zeros((5, mlen + 1), np.uint8)
-        lbm = np.zeros((5, mlen + 1), np.uint8)
-        for a in range(5):
-            sc[a, 0, :5] = 0.0
-            sc[a, 0, 5] = 0.0 if a == 4 else MIN_LOGVAL
-            btm[a, 0] = 4
-            lbm[a, 0] = 4
-        bs = np.zeros((10, nseq), np.uint8)
-        dptable = self.dptable
-        dpvals = self.dpvals
-        cols = [self.msacols[self.msaidxs[p]] for p in range(mlen)]
+
+    def _cns_forward_py(self, sc, btm, lbm, bs, cols, mlen, nseq, dptable,
+                        dpvals, min_freq_calq):
+        """NumPy fallback of the HMM-consensus forward scan."""
         for pos in range(mlen):
             qs = cols[pos]
             cnts = [0] * 6
@@ -1114,6 +1096,41 @@ class BSPOA:
                     f = dptable[a + b * 5 + lb_prev * 25 + int(bs[bt, rid]) * 125]
                     bs[a + 5, rid] = f & 0x7
             bs[0:5] = bs[5:10]
+        return sc, btm, lbm
+
+    def cns_call(self) -> float:
+        """5-state HMM consensus + QLT/ALT qualities (bspoa.h:3457-3733)."""
+        g = self.g
+        min_freq_calq = 0.1
+        nseq = min(self.nmsa, self.nrds)
+        nmax = self.nrds
+        nall = nseq if self.nseq == 0 else self.nseq
+        mlen = len(self.msaidxs)
+        log10 = math.log(10)
+        # dps[a][pos]: sc[6], bt, lb
+        sc = np.zeros((5, mlen + 1, 6), np.float64)
+        btm = np.zeros((5, mlen + 1), np.uint8)
+        lbm = np.zeros((5, mlen + 1), np.uint8)
+        for a in range(5):
+            sc[a, 0, :5] = 0.0
+            sc[a, 0, 5] = 0.0 if a == 4 else MIN_LOGVAL
+            btm[a, 0] = 4
+            lbm[a, 0] = 4
+        bs = np.zeros((10, nseq), np.uint8)
+        dptable = self.dptable
+        dpvals = self.dpvals
+        cols = [self.msacols[self.msaidxs[p]] for p in range(mlen)]
+        if NR.available() and mlen:
+            colmat = np.ascontiguousarray(np.stack(cols)).astype(np.uint8)
+            dpt = np.ascontiguousarray(np.asarray(dptable, np.uint8))
+            dpv = np.ascontiguousarray(np.asarray(dpvals, np.float64))
+            sc, btm, lbm = NR.cns_forward(colmat, nseq, dpt, dpv,
+                                          min_freq_calq)
+        else:
+            sc, btm, lbm = self._cns_forward_py(
+                sc, btm, lbm, bs, cols, mlen, nseq, dptable, dpvals,
+                min_freq_calq)
+        pos = mlen - 1
         pos = mlen - 1
         c = 4
         for a in range(4):
