@@ -113,7 +113,9 @@ def _edit_bucket(qseqs, tseqs, mode, bandwidth, banded
         rbegs[:, b], movxs[:, b] = _band_trajectory(
             int(qlens[b]), int(tlens[b]), bw, banded, T)
     fwd = _engine().make_edit_forward(T, NW, mode, NWQ, banded)
-    res = fwd(qeq, qlens, tpad, tlens, rbegs, movxs)
+    from ..utils import metrics as _metrics
+    with _metrics.timed("edit_fwd", float(np.sum(tlens)) * bw):
+        res = fwd(qeq, qlens, tpad, tlens, rbegs, movxs)
     pm_t = np.asarray(res.pm)
     pp_t = np.asarray(res.pp)
     smin = np.asarray(res.smin)

@@ -114,7 +114,10 @@ def align_batch(qseqs: Sequence[np.ndarray], tseqs: Sequence[np.ndarray],
     eng = _engine()
     fwd = eng.make_forward(T, W, mode, piecewise, gapo1, gape1, gapo2, gape2,
                            smax, smin)
-    res = fwd(qpad, qlens, tpad, tlens, _mtx5(mtx), rby, us0, es0, qs0, ub0)
+    from ..utils import metrics
+    with metrics.timed("banded8_fwd", float(np.sum(tlens)) * bandwidth):
+        res = fwd(qpad, qlens, tpad, tlens, _mtx5(mtx), rby, us0, es0, qs0,
+                  ub0)
     planes = res.planes
     us_p = np.asarray(planes.us)
     es_p = None if planes.es is None else np.asarray(planes.es)

@@ -11,6 +11,8 @@ import argparse
 import sys
 from typing import List
 
+from .utils import metrics
+
 import numpy as np
 
 from . import cigar as C
@@ -55,6 +57,7 @@ def main_align(argv):
     ap.add_argument("-v", action="count", default=0)
     ap.add_argument("inputs", nargs="+")
     args = ap.parse_args(argv)
+    metrics.set_verbose(args.v)
     mode = MODE_NAMES[args.m.lower()]
     mtx = B8.set_score_matrix(args.M, -args.X)
     gaps = (-args.O, -args.E, -args.Q, -args.P)
@@ -145,9 +148,15 @@ def main():
     cmd = sys.argv[1].lower()
     argv = sys.argv[2:]
     if cmd == "align":
-        return main_align(argv)
+        rc = main_align(argv)
+        if metrics.verbose():
+            metrics.report()
+        return rc
     if cmd == "edit":
-        return main_edit(argv)
+        rc = main_edit(argv)
+        if metrics.verbose():
+            metrics.report()
+        return rc
     if cmd == "poa":
         return main_poa(argv)
     if cmd == "cat":
