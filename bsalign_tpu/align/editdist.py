@@ -95,7 +95,7 @@ def _edit_bucket(qseqs, tseqs, mode, bandwidth, banded
     B = len(qseqs)
     qlens = np.array([len(q) for q in qseqs], np.int32)
     tlens = np.array([len(t) for t in tseqs], np.int32)
-    T = int(tlens.max())
+    T = roundup(int(tlens.max()), 128)  # bucket rows for compile-cache reuse
     NW = bandwidth // 32
     bw = bandwidth
     # chunked window needs NWQ % C == 0

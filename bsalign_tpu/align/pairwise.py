@@ -13,7 +13,8 @@ from typing import List, Sequence, Tuple
 import numpy as np
 
 from ..cigar import AlnResult
-from ..constants import MODE_GLOBAL, SCORE_EPI8_MIN, SCORE_MIN, WORDSIZE, mode_type, roundup
+from ..constants import (MODE_GLOBAL, MODE_OVERLAP, SCORE_EPI8_MIN,
+                         SCORE_MIN, WORDSIZE, mode_type, roundup)
 from ..oracle import banded8 as O
 from ..ops import banded8_jax as K
 
@@ -29,7 +30,8 @@ def _pack_batch(qseqs: Sequence[np.ndarray], tseqs: Sequence[np.ndarray],
     while C < bandwidth + bandwidth // WS:
         C *= 2
     QP = roundup(int(qlens.max()) + bandwidth + WS + 1, C)
-    T = int(tlens.max())
+    # bucket the row count so nearby batch shapes share compiled kernels
+    T = roundup(int(tlens.max()), 128)
     qpad = np.full((B, QP), 4, np.int32)
     tpad = np.zeros((B, T), np.int32)
     for i, (q, t) in enumerate(zip(qseqs, tseqs)):
@@ -134,17 +136,18 @@ def align_batch(qseqs: Sequence[np.ndarray], tseqs: Sequence[np.ndarray],
     out = []
     init_row = O.row_init(mode, bandwidth, smax, smin, gapo1, gape1, gapo2,
                           gape2)
+    from ..native import rowops as NR
+    use_native = NR.available()
+    if use_native:
+        us_p = np.ascontiguousarray(us_p)
+        es_p = None if es_p is None else np.ascontiguousarray(es_p)
+        qs_p = None if qs_p is None else np.ascontiguousarray(qs_p)
+        ub_p = np.ascontiguousarray(ub_p, np.int32)
+        begs_p = np.ascontiguousarray(begs_p, np.int32)
+        mtx8 = np.ascontiguousarray(mtx, np.int8)
+    is_overlap = mode_type(mode) == MODE_OVERLAP
     for b in range(B):
         tl = int(tlens[b])
-        rows = []
-        for i in range(tl):
-            st = O.RowState.__new__(O.RowState)
-            st.us = us_p[i, :, b].reshape(W, WS)
-            st.es = None if es_p is None else es_p[i, :, b].reshape(W, WS)
-            st.qs = None if qs_p is None else qs_p[i, :, b].reshape(W, WS)
-            st.ubegs = ub_p[i, :, b].astype(np.int64)
-            rows.append(st)
-        begs = [int(x) for x in begs_p[:tl, b]]
         rs = AlnResult(score=int(score[b]), qe=int(qe[b]), te=int(te[b]))
         if mode_type(mode) != MODE_GLOBAL:
             # final-row row_max candidate (bsalign.h:4039-4044)
@@ -157,7 +160,23 @@ def align_batch(qseqs: Sequence[np.ndarray], tseqs: Sequence[np.ndarray],
                 rs.score = max_score
                 rs.qe = int(fin_rbeg[b]) + rmax
                 rs.te = tl - 1
-        cigars = O.backcal(qseqs[b], tseqs[b], init_row, rows, begs, mode,
-                           bandwidth, mtx, gapo1, gape1, gapo2, gape2, rs)
+        if use_native:
+            cigars = NR.backcal(qseqs[b], tseqs[b], init_row, us_p, es_p,
+                                qs_p, ub_p, begs_p, b, is_overlap, bandwidth,
+                                mtx8, gapo1, gape1, gapo2, gape2, piecewise,
+                                rs)
+        else:
+            rows = []
+            for i in range(tl):
+                st = O.RowState.__new__(O.RowState)
+                st.us = us_p[i, :, b].reshape(W, WS)
+                st.es = None if es_p is None else es_p[i, :, b].reshape(W, WS)
+                st.qs = None if qs_p is None else qs_p[i, :, b].reshape(W, WS)
+                st.ubegs = ub_p[i, :, b].astype(np.int64)
+                rows.append(st)
+            begs = [int(x) for x in begs_p[:tl, b]]
+            cigars = O.backcal(qseqs[b], tseqs[b], init_row, rows, begs,
+                               mode, bandwidth, mtx, gapo1, gape1, gapo2,
+                               gape2, rs)
         out.append((rs, cigars))
     return out

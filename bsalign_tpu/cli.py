@@ -23,12 +23,25 @@ from .oracle import banded8 as B8
 USE_DEVICE = True  # flip off to run the scalar oracle engines (debug)
 
 
-def _fmt_pairwise(qtag, ttag, qseq, tseq, rs, cigars):
+def _fmt_pairwise(qtag, ttag, qseq, tseq, rs, cigars, line=0):
     q, m, t = C.cigar2alnstr(qseq, tseq, rs, cigars, rs.aln)
     head = (f"{qtag}\t{len(qseq)}\t+\t{rs.qb}\t{rs.qe}\t{ttag}\t{len(tseq)}"
             f"\t+\t{rs.tb}\t{rs.te}\t{rs.score}\t{1.0 * rs.mat / rs.aln:.3f}"
             f"\t{rs.mat}\t{rs.mis}\t{rs.ins}\t{rs.dele}")
-    return f"{head}\n{q}\n{m}\n{t}\n"
+    if line <= 0:
+        return f"{head}\n{q}\n{m}\n{t}\n"
+    # -L > 0: wrap alnstr in 100-char chunks with running coordinates
+    # (main.c:349-363; the chunk width is hardcoded 100 upstream)
+    out = [head]
+    qn, tn = rs.qb, rs.tb
+    for b in range(0, rs.aln, 100):
+        e = min(b + 100, rs.aln)
+        qn += sum(1 for ch in q[b:e] if ch != "-")
+        tn += sum(1 for ch in t[b:e] if ch != "-")
+        out.append(f"{q[b:e]}\tQ[{qn}]")
+        out.append(m[b:e])
+        out.append(f"{t[b:e]}\tT[{tn}]")
+    return "\n".join(out) + "\n"
 
 
 def _read_pairs(paths: List[str]):
@@ -87,7 +100,8 @@ def main_align(argv):
 
     for (q, t), (rs, cg) in zip(pairs, results):
         if rs.mat:
-            out.write(_fmt_pairwise(q.tag, t.tag, q.codes, t.codes, rs, cg))
+            out.write(_fmt_pairwise(q.tag, t.tag, q.codes, t.codes, rs, cg,
+                                    args.L))
     return 0
 
 

@@ -93,5 +93,17 @@ def rowops_lib():
                                      ctypes.c_int, ctypes.c_int,
                                      ctypes.c_void_p]
         lib.bsa_edit_row.restype = None
+        lib.bsa8_backcal.argtypes = [
+            ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p, ctypes.c_long,
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p,
+            ctypes.c_long, ctypes.c_long,
+            ctypes.c_int, ctypes.c_int, ctypes.c_void_p,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long,
+        ]
+        lib.bsa8_backcal.restype = ctypes.c_long
         _LIB = lib
         return _LIB

@@ -669,3 +669,223 @@ extern "C" void bsa_edit_row(const i8 *u_prev, const uint8_t *match, int n,
         v = h - up;
     }
 }
+
+// ---- backcal traceback (bsalign.h:3704-3852 / oracle/banded8.backcal) ----
+// Re-derives the alignment path from stored u/e/q difference planes +
+// stripe anchors by score identities, emitting a SAM-coded CIGAR. Planes
+// are passed as batch-strided pointers ([T, BW, B] laid out row-major with
+// per-pair stride B) so no per-pair repacking is needed.
+struct BackcalRS {
+    i64 score, qb, qe, tb, te, mat, mis, ins, del_, aln;
+};
+
+extern "C" long bsa8_backcal(
+    const uint8_t *qseq, long qlen, const uint8_t *tseq, long tlen,
+    const i8 *init_us, const i64 *init_ub,               // [W*16], [17]
+    const i8 *us_p, const i8 *es_p, const i8 *qs_p,      // [T,BW,B] strided
+    const i32 *ub_p, int ubr,                            // [T,ubr,B] strided
+    const i32 *begs_p,                                   // [T,B] strided
+    long B, long b,                                      // batch stride+index
+    int is_overlap, int bandwidth, const i8 *mtx,        // [16]
+    int gapo1, int gape1, int gapo2, int gape2, int piecewise,
+    BackcalRS *rs, uint32_t *cg_out, long cg_cap) {
+    const int W = bandwidth / WSZ;
+    const long BW = bandwidth;
+
+    auto getscore_row = [&](long i, long pos) -> i64 {
+        // absolute H at natural band pos of row i (i==-1 -> init row)
+        const int x = (int)(pos % W);
+        const int y = (int)(pos / W);
+        i64 s;
+        if (i < 0) {
+            s = init_ub[y];
+            for (int k = 0; k <= x; k++) s += init_us[(size_t)k * WSZ + y];
+        } else {
+            s = ub_p[((size_t)i * ubr + y) * B + b];
+            const i8 *us = us_p + (size_t)i * BW * B + b;
+            for (int k = 0; k <= x; k++) s += us[((size_t)k * WSZ + y) * B];
+        }
+        return s;
+    };
+    auto beg_of = [&](long i) -> long {
+        return i < 0 ? 0 : (long)begs_p[(size_t)i * B + b];
+    };
+    auto score_at = [&](long row, long col) -> i64 {
+        return getscore_row(row, col - beg_of(row));
+    };
+
+    // back-to-front cigar accumulator (_push_cigar_bsalign)
+    std::vector<uint32_t> acc;
+    uint32_t cg = 0;
+    auto push = [&](uint32_t op, uint32_t sz) {
+        if (op == (cg & 0xF)) {
+            cg += sz << 4;
+        } else {
+            if (cg) acc.push_back(cg);
+            cg = (sz << 4) | op;
+        }
+    };
+
+    rs->qb = rs->qe;
+    rs->qe += 1;
+    rs->tb = rs->te;
+    rs->te += 1;
+    rs->mat = rs->mis = rs->ins = rs->del_ = rs->aln = 0;
+    i64 Hs0 = 0, Hs1 = score_at(rs->tb, rs->qb), Hs2 = 0;
+    int prior_match = 0;
+    for (;;) {
+        if ((Hs2 & 0xF) == 2) {
+            Hs0 = score_at(rs->tb, rs->qb);
+            i64 t = gapo1 + (Hs2 >> 4) * (i64)gape1;
+            if (Hs0 + t == Hs1) {
+                push(2, (uint32_t)(Hs2 >> 4));
+                rs->del_ += Hs2 >> 4;
+                rs->aln += Hs2 >> 4;
+                Hs1 = Hs0;
+                Hs2 = 0;
+            } else {
+                Hs2 += 1 << 4;
+                rs->tb -= 1;
+                continue;
+            }
+        } else if ((Hs2 & 0xF) == 4) {
+            Hs0 = score_at(rs->tb, rs->qb);
+            i64 t = gapo2 + (Hs2 >> 4) * (i64)gape2;
+            if (Hs0 + t == Hs1) {
+                push(2, (uint32_t)(Hs2 >> 4));
+                rs->del_ += Hs2 >> 4;
+                rs->aln += Hs2 >> 4;
+                Hs1 = Hs0;
+                Hs2 = 0;
+            } else {
+                Hs2 += 1 << 4;
+                rs->tb -= 1;
+                continue;
+            }
+        }
+        if (rs->qb < 0 || rs->tb < 0) break;
+        if (rs->qb == beg_of(rs->tb - 1)) {
+            if (rs->qb) {
+                Hs0 = (rs->tb - 1 < 0) ? init_ub[0]
+                      : ub_p[((size_t)(rs->tb - 1) * ubr + 0) * B + b];
+                prior_match = 0;
+            } else {
+                if (is_overlap || rs->tb == 0) {
+                    Hs0 = 0;
+                } else if (piecewise < 2) {
+                    Hs0 = gapo1 + (i64)gape1 * rs->tb;
+                } else {
+                    i64 t1 = gapo1 + (i64)gape1 * rs->tb;
+                    i64 t2 = gapo2 + (i64)gape2 * rs->tb;
+                    Hs0 = t1 > t2 ? t1 : t2;
+                }
+            }
+        } else {
+            Hs0 = score_at(rs->tb - 1, rs->qb - 1);
+        }
+        const long x = rs->qb - beg_of(rs->tb - 1);
+        int uval = 0, eval_ = gapo1 + gape1, qval = 0;
+        if (x >= 0 && x < BW) {
+            const int si = (int)(x % W), sj = (int)(x / W);
+            const size_t off = ((size_t)si * WSZ + sj) * B + b;
+            if (rs->tb - 1 < 0) {
+                uval = init_us[(size_t)si * WSZ + sj];
+                eval_ = piecewise ? SCORE_EPI8_MIN : gapo1 + gape1;
+                // oracle: init row es is SCORE_EPI8_MIN when piecewise
+                if (!piecewise) eval_ = gapo1 + gape1;
+                qval = piecewise == 2 ? SCORE_EPI8_MIN : 0;
+            } else {
+                const size_t rowo = (size_t)(rs->tb - 1) * BW * B;
+                uval = us_p[rowo + off];
+                eval_ = es_p ? es_p[rowo + off] : gapo1 + gape1;
+                qval = qs_p ? qs_p[rowo + off] : 0;
+            }
+        }
+        // cell rule (bsalign.h:3667-3702)
+        const int s = mtx[qseq[rs->qb] * 4 + tseq[rs->tb]];
+        const i64 h = Hs1 - Hs0;
+        int bt;
+        if (x > BW) {
+            bt = 1;
+        } else if (x == BW) {
+            bt = (h == s) ? 0 : 1;
+        } else if (prior_match) {
+            if (h == s) bt = 0;
+            else if (h == (i64)uval + eval_) bt = 2;
+            else if (piecewise == 2 && h == (i64)uval + qval) bt = 4;
+            else bt = 1;
+        } else {
+            if (h == (i64)uval + eval_) bt = 2;
+            else if (piecewise == 2 && h == (i64)uval + qval) bt = 4;
+            else if (h == s) bt = 0;
+            else bt = 1;
+        }
+        prior_match = 1;
+        if (bt == 0) {
+            if (qseq[rs->qb] == tseq[rs->tb]) rs->mat += 1;
+            else rs->mis += 1;
+            rs->qb -= 1;
+            rs->tb -= 1;
+            rs->aln += 1;
+            push(0, 1);
+            Hs1 = Hs0;
+        } else if (bt == 1) {
+            if (rs->qb <= 0) {
+                push(1, 1);
+                Hs1 = Hs0;
+                rs->qb -= 1;
+                rs->ins += 1;
+                rs->aln += 1;
+            } else {
+                long sz = 1;
+                while (sz + beg_of(rs->tb) <= rs->qb) {
+                    i64 t;
+                    if (piecewise == 2) {
+                        i64 t1 = gapo1 + sz * (i64)gape1;
+                        i64 t2 = gapo2 + sz * (i64)gape2;
+                        t = t1 > t2 ? t1 : t2;
+                    } else {
+                        t = gapo1 + sz * (i64)gape1;
+                    }
+                    Hs0 = score_at(rs->tb, rs->qb - sz);
+                    if (Hs0 + t == Hs1) {
+                        push(1, (uint32_t)sz);
+                        Hs1 = Hs0;
+                        rs->qb -= sz;
+                        rs->ins += sz;
+                        rs->aln += sz;
+                        break;
+                    }
+                    sz += 1;
+                }
+            }
+        } else {
+            Hs2 = (1 << 4) | bt;
+            rs->tb -= 1;
+            continue;
+        }
+    }
+    if (!is_overlap) {
+        uint32_t op = 0;
+        long sz = 0;
+        if (rs->qb >= 0) {
+            op = 1;
+            sz = rs->qb + 1;
+            rs->ins += sz;
+            rs->qb = -1;
+        } else if (rs->tb >= 0) {
+            op = 2;
+            sz = rs->tb + 1;
+            rs->del_ += sz;
+            rs->tb = -1;
+        }
+        rs->aln += sz;
+        if (sz) push(op, (uint32_t)sz);
+    }
+    if (cg) acc.push_back(cg);
+    rs->qb += 1;
+    rs->tb += 1;
+    const long n = (long)acc.size() < cg_cap ? (long)acc.size() : cg_cap;
+    for (long k = 0; k < n; k++) cg_out[k] = acc[acc.size() - 1 - k];
+    return (long)acc.size();
+}

@@ -102,3 +102,37 @@ def edit_row(u_prev, match, v_in):
     lib.bsa_edit_row(u_prev.ctypes.data, match.ctypes.data, len(u_prev),
                      int(v_in), u_new.ctypes.data)
     return u_new
+
+
+def backcal(qseq, tseq, init_row, us_p, es_p, qs_p, ub_p, begs_p, b,
+            is_overlap, bandwidth, mtx, gapo1, gape1, gapo2, gape2,
+            piecewise, rs):
+    """Native backcal traceback over batch-strided plane arrays; mutates
+    `rs` (AlnResult) and returns the packed CIGAR list."""
+    import numpy as _np
+    lib = rowops_lib()
+    T, BW, B = us_p.shape
+    ubr = ub_p.shape[1]
+    init_ub = _np.ascontiguousarray(init_row.ubegs, _np.int64)
+    stats = _np.zeros(10, _np.int64)
+    stats[0] = rs.score
+    stats[2] = rs.qe
+    stats[4] = rs.te
+    cg_cap = int(qseq.size + tseq.size + 8)
+    cg = _np.zeros(cg_cap, _np.uint32)
+    qc = _np.ascontiguousarray(qseq, _np.uint8)
+    tc = _np.ascontiguousarray(tseq, _np.uint8)
+    n = lib.bsa8_backcal(
+        qc.ctypes.data, len(qc), tc.ctypes.data, len(tc),
+        init_row.us.ctypes.data, init_ub.ctypes.data,
+        us_p.ctypes.data,
+        es_p.ctypes.data if es_p is not None else None,
+        qs_p.ctypes.data if qs_p is not None else None,
+        ub_p.ctypes.data, ubr, begs_p.ctypes.data,
+        B, b, int(is_overlap), bandwidth, mtx.ctypes.data,
+        gapo1, gape1, gapo2, gape2, piecewise,
+        stats.ctypes.data, cg.ctypes.data, cg_cap)
+    assert n <= cg_cap, "cigar overflow"
+    (rs.score, rs.qb, rs.qe, rs.tb, rs.te, rs.mat, rs.mis, rs.ins,
+     rs.dele, rs.aln) = (int(x) for x in stats)
+    return [int(x) for x in cg[:n]]
