@@ -168,6 +168,10 @@ def edit_batch(qseqs: Sequence[np.ndarray], tseqs: Sequence[np.ndarray],
         bw = OE._select_bandwidth(len(q), len(t), mode, bandwidth)
         banded = (mode_type(mode) not in (MODE_OVERLAP, MODE_EXTEND)
                   and bw < len(q))
+        if not banded:
+            # full-band: widening is output-neutral (cells past qlen are
+            # masked) and coarser buckets share compiled kernels
+            bw = roundup(bw, 256)
         buckets.setdefault((bw, banded), []).append(i)
     results: List = [None] * len(qseqs)
     for key, idxs in buckets.items():

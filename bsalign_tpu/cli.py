@@ -83,7 +83,7 @@ def main_align(argv):
         # when their rounded qlen matches the reference's per-pair band)
         buckets = {}
         for idx, (q, t) in enumerate(pairs):
-            bw = args.W if args.W > 0 else roundup(len(q.seq), 16)
+            bw = args.W if args.W > 0 else roundup(len(q.seq), 128)
             buckets.setdefault(bw, []).append(idx)
         results = [None] * len(pairs)
         for bw, idxs in buckets.items():
@@ -95,7 +95,7 @@ def main_align(argv):
     else:
         results = []
         for (q, t) in pairs:
-            bw = args.W if args.W > 0 else roundup(len(q.seq), 16)
+            bw = args.W if args.W > 0 else roundup(len(q.seq), 128)
             results.append(B8.pairwise(q.codes, t.codes, mode, bw, mtx, *gaps))
 
     for (q, t), (rs, cg) in zip(pairs, results):

@@ -41,6 +41,17 @@ def gen_pairs(path, n, lens, err, seed):
             f.write(f">t{i}\n" + "".join(BASES[b] for b in t) + "\n")
 
 
+def gen_contigs(path, n, L, ov, seed):
+    """Chain of contigs with ov-bp true overlaps (for `cat`)."""
+    rng = np.random.default_rng(seed)
+    full = rng.integers(0, 4, L * n - ov * (n - 1))
+    with open(path, "w") as f:
+        step = L - ov
+        for i in range(n):
+            seg = full[i * step: i * step + L]
+            f.write(f">c{i}\n" + "".join(BASES[b] for b in seg) + "\n")
+
+
 def gen_msa(path, n, L, err, seed):
     rng = np.random.default_rng(seed)
     ref = rng.integers(0, 4, L)
@@ -136,6 +147,8 @@ def main():
         ("poa default", []),
         ("poa refmode W64", ["-W", "64", "-G", "refmode=1"]),
     ]
+    fac = "/tmp/fuzz_contigs.fa"
+    gen_contigs(fac, 4, 400, 120, a.seed + 3)
     for name, args in align_cfgs:
         ok &= check(name, "align", args, fa1)
         if not a.quick:
@@ -145,6 +158,7 @@ def main():
         ok &= check(name + " (short)", "edit", args, fa2)
     for name, args in poa_cfgs:
         ok &= check(name, "poa", args, fam)
+    ok &= check("cat W256", "cat", ["-W", "256"], fac)
     print("ALL PARITY OK" if ok else "PARITY FAILURES")
     return 0 if ok else 1
 
