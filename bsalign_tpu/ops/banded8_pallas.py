@@ -518,7 +518,12 @@ def _get_call(T, W, mode, piecewise, gapo1, gape1, gapo2, gape2, nt_max,
                 inner = jnp.where(i == 0, 0, base_rh)        # scalar
                 rh_nomove = jnp.where(rbeg > 0, SCORE_MIN, inner)
 
-            mx_max = jnp.max(mov_eff)
+            # one fused scalar sync for both control decisions:
+            # sum preserves "any pair" for each flag exactly
+            macc_pre = macc + mov_eff
+            packed = jnp.sum((mov_eff > TF).astype(I32) * 256
+                             + (macc_pre > SLACK_BUDGET).astype(I32))
+            any_slow = packed >= 256
 
             def fast_tier(ops):
                 pls, ubv, me = ops
@@ -532,17 +537,18 @@ def _get_call(T, W, mode, piecewise, gapo1, gape1, gapo2, gape2, nt_max,
                                                  jnp.maximum(me - 1, 0))
 
             outs_p, ub0, rh_move = jax.lax.cond(
-                mx_max <= TF, fast_tier, slow_tier, (planes, ub, mov_eff))
+                jnp.logical_not(any_slow), fast_tier, slow_tier,
+                (planes, ub, mov_eff))
             us0 = outs_p[0]
             es0 = outs_p[1] if piecewise >= 1 else None
             qs0 = outs_p[2] if piecewise == 2 else None
             rh = jnp.where(cond_move, rh_move, rh_nomove)
 
             # --- query window upkeep ---
-            macc_n = macc + mov_eff
-            trig = (jnp.max(macc_n) > SLACK_BUDGET) | (mx_max > TF)
+            macc_n = macc_pre
+            trig = ((packed & 255) > 0) | any_slow
 
-            @pl.when(jnp.logical_not(trig) & (mx_max > 0))
+            @pl.when(jnp.logical_not(trig))
             def _shift_win():
                 s_win[:] = plane_shift_fast(s_win[:], mov_eff)
 
