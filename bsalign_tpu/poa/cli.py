@@ -74,6 +74,10 @@ def run_poa(argv):
             if rec.seq:
                 g.push(rec.seq)
     g.end()
+    for _ in range(1, max(1, args.R)):   # -R benchmarking re-runs (main.c:521)
+        g.keep_seqs = True
+        g.beg()
+        g.end()
     if args.cnsfn:
         with open(args.cnsfn, "w") as f:
             f.write(">cns_seq\n" + "".join("ACGTN-"[b] for b in g.cns) + "\n")

@@ -309,11 +309,15 @@ class BSPOA:
                 if val is not None and (val & 0x80000000) == 0 \
                         and (val & 0xFFFF) >= mincnt:
                     khit += 1
-            if self.par.refmode:
-                kords[ridx] = np.float32(
-                    float(khit) * logv / math.log(max(len(seq), self.rdlen(0))))
-            else:
-                kords[ridx] = np.float32(float(khit) * logv / math.log(len(seq)))
+            # C float semantics: log(0) = -inf, 0/-inf = -0.0 (an empty
+            # read can reach here on keep_seqs re-runs)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                if self.par.refmode:
+                    denom = np.log(np.float64(max(len(seq), self.rdlen(0))))
+                else:
+                    denom = np.log(np.float64(len(seq)))
+                v = np.float64(khit) * logv / denom
+            kords[ridx] = np.float32(0.0 if np.isnan(v) else v)
             kidxs.append(ridx)
         c_sort_array(kidxs, lambda a, b: kords[b] > kords[a])
         self.ords = list(kidxs)
