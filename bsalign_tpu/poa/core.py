@@ -1991,12 +1991,13 @@ class BSPOA:
             for i in range(mrow):
                 out.write(f"{label} MSA ")
                 if i <= nseq:
-                    s, rend = self._str_msa_seq(beg, end, i, roffs[i])
+                    s, rend = self._str_msa_seq(beg, end, i, roffs[i],
+                                                colorful)
                     tagl = "[CNS] " if i == nseq else f"[{i:03d}] "
                     out.write(tagl + f"{s} {roffs[i]}\t{rend}\n")
                     roffs[i] = rend
                 else:
-                    s = self._str_msa_qlt(beg, end, i)
+                    s = self._str_msa_qlt(beg, end, i, colorful)
                     out.write(("[QLT] " if i == nseq + 1 else "[ALT] ")
                               + s + "\n")
             out.write(f"{label} MSA [POS] "
@@ -2028,10 +2029,41 @@ class BSPOA:
                 s[x["mpos"] - mbeg] = "~"
         return "".join(s)
 
-    def _str_msa_seq(self, mbeg, mend, rid, rbeg):
+    def _str_msa_seq(self, mbeg, mend, rid, rbeg, colorful=0):
         nseq = self.nseq
+        g = self.g
         roff = rbeg
         chars = []
+        if colorful:
+            # bspoa.h:1400-1447: reverse-video on SNV columns, bold on
+            # colorful (re-POA'd) nodes, red lowercase on mismatches
+            def node_at(off):
+                if g.nodes and rid < nseq:
+                    return g.nodes[g.rdnode(rid, off)]
+                return None
+            v = node_at(roff)
+            ci = 0
+            while ci < len(self.var) and self.var[ci]["mpos"] < mbeg:
+                ci += 1
+            x = self.var[ci] if ci < len(self.var) else None
+            for i in range(mbeg, mend):
+                col = self.msacols[self.msaidxs[i]]
+                if x is not None and x["mpos"] == i:
+                    chars.append("\x1b[7m")
+                    ci += 1
+                    x = self.var[ci] if ci < len(self.var) else None
+                elif v is not None and v.colorful:
+                    chars.append("\x1b[1m")
+                if col[rid] <= 4 and col[rid] != col[nseq]:
+                    chars.append("\x1b[31m")
+                    chars.append("acgt-.*"[col[rid]])
+                else:
+                    chars.append("ACGT-.*"[col[rid]])
+                chars.append("\x1b[0m")
+                if col[rid] < 4:
+                    roff += 1
+                    v = node_at(roff)
+            return "".join(chars), roff
         for i in range(mbeg, mend):
             col = self.msacols[self.msaidxs[i]]
             if col[rid] <= 4 and col[rid] != col[nseq]:
@@ -2043,11 +2075,22 @@ class BSPOA:
                 roff += 1
         return "".join(chars), roff
 
-    def _str_msa_qlt(self, mbeg, mend, row):
+    def _str_msa_qlt(self, mbeg, mend, row, colorful=0):
         chars = []
         for i in range(mbeg, mend):
             col = self.msacols[self.msaidxs[i]]
-            chars.append(chr(33 + int(col[row])))
+            ch = chr(33 + int(col[row]))
+            if colorful:
+                # bspoa.h:1459-1471: green below althi, red below qlthi,
+                # and a reset after every char (even uncolored ones)
+                if col[row] < self.par.althi:
+                    chars.append("\x1b[32m")
+                elif col[row] < self.par.qlthi:
+                    chars.append("\x1b[31m")
+                chars.append(ch)
+                chars.append("\x1b[0m")
+            else:
+                chars.append(ch)
         return "".join(chars)
 
     def _str_cns_ruler(self, mbeg, mend, cbeg):
