@@ -76,3 +76,47 @@ def make_sharded_edit_forward(T, NW, mode, NWQ, win_chunked, mesh: Mesh):
         sh(None, d),            # movxs
     )
     return jax.jit(fwd, in_shardings=in_sh)
+
+
+def make_sharded_pallas_forward(T, W, mode, piecewise, gapo1, gape1, gapo2,
+                                gape2, nt_max, nt_min, mesh: Mesh,
+                                BL=128, Rs=16):
+    """Shard the Pallas banded-8 kernel over the mesh data axis.
+
+    The kernel's leading operand axis is the batch-block (NB); shard_map
+    splits it so every device runs the same Mosaic program on its local
+    blocks — zero collectives (alignment is embarrassingly parallel).
+    Returns (run, prepare): `prepare` packs operands exactly like the
+    single-chip adapter; `run(*ops)` executes sharded.
+    """
+    from jax.experimental.shard_map import shard_map
+
+    from ..ops import banded8_pallas as KP
+
+    fwd = KP.make_forward(T, W, mode, piecewise, gapo1, gape1, gapo2, gape2,
+                          nt_max, nt_min, BL=BL, Rs=Rs, interpret=False)
+
+    def prepare(*args):
+        return fwd.prepare(*args)
+
+    d = DATA_AXIS
+
+    def run(call, ops):
+        nsh = mesh.devices.size
+        sharded = P(d)
+        repl = P()
+        in_specs = (sharded, sharded, sharded, sharded, repl, repl, repl,
+                    repl, repl)
+        out_specs = tuple(sharded for _ in range(9))
+
+        def local(*xs):
+            return call(*xs)
+
+        # out structure depends on piecewise; probe via eval_shape
+        outs = jax.eval_shape(call, *ops)
+        out_specs = tuple(sharded for _ in outs)
+        f = shard_map(local, mesh=mesh, in_specs=in_specs,
+                      out_specs=out_specs, check_rep=False)
+        return jax.jit(f)(*ops)
+
+    return run, prepare

@@ -146,6 +146,11 @@ def main():
     poa_cfgs = [
         ("poa default", []),
         ("poa refmode W64", ["-W", "64", "-G", "refmode=1"]),
+        ("poa global noshuffle", ["-m", "global", "-G", "shuffle=0"]),
+        ("poa realn1 editbw32", ["-G", "realn=1", "-G", "editbw=32"]),
+        ("poa nrec5 ksz11", ["-G", "nrec=5", "-G", "kmer=11"]),
+        ("poa scores2piece", ["-M", "2", "-X", "4", "-O", "2", "-E", "1",
+                              "-Q", "6", "-P", "1"]),
     ]
     fac = "/tmp/fuzz_contigs.fa"
     gen_contigs(fac, 4, 400, 120, a.seed + 3)
