@@ -89,7 +89,10 @@ def make_sharded_pallas_forward(T, W, mode, piecewise, gapo1, gape1, gapo2,
     Returns (run, prepare): `prepare` packs operands exactly like the
     single-chip adapter; `run(*ops)` executes sharded.
     """
-    from jax.experimental.shard_map import shard_map
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
 
     from ..ops import banded8_pallas as KP
 

@@ -1,0 +1,57 @@
+"""Data-parallel sharding: sharded XLA forward and shard_map'd Pallas kernel
+produce the single-chip results (SURVEY.md §2.6 scale-out story)."""
+import jax
+import numpy as np
+
+from bsalign_tpu.align import pairwise as P
+from bsalign_tpu.oracle import banded8 as O
+from bsalign_tpu.parallel import mesh as M
+
+
+def _batch(B, L, seed=0):
+    rng = np.random.default_rng(seed)
+    qs, ts = [], []
+    for _ in range(B):
+        t = rng.integers(0, 4, L).astype(np.uint8)
+        q = t.copy()
+        idx = rng.random(L) < 0.1
+        q[idx] = (q[idx] + rng.integers(1, 4, int(idx.sum()))) & 3
+        qs.append(q)
+        ts.append(t)
+    return qs, ts
+
+
+def test_sharded_pallas_matches_oracle():
+    B, L, BW = 16, 256, 128
+    qs, ts = _batch(B, L)
+    mtx = O.set_score_matrix(2, -6)
+    qpad, qlens, tpad, tlens, rby, T = P._pack_batch(qs, ts, BW)
+    us0, es0, qs0, ub0, _ = P._init_state(0, BW, 1, 2, -6, -3, -2, 0, 0, B)
+    mesh = M.make_mesh(jax.devices()[:1])
+    run, prep = M.make_sharded_pallas_forward(T, BW // 16, 0, 1, -3, -2, 0,
+                                              0, 2, -6, mesh, BL=8, Rs=8)
+    call, ops, meta = prep(qpad, qlens, tpad, tlens, P._mtx5(mtx), rby, us0,
+                           es0, qs0, ub0)
+    outs = run(call, ops)
+    # GLOBAL score from the final state (same math as the adapter)
+    # outs (piecewise=1): us8, es8, ub, begs, fin_us, fin_ub, scal
+    fin_us = np.asarray(outs[-3]).transpose(1, 2, 0, 3).reshape(8, 16, -1)
+    fin_ub = np.asarray(outs[-2]).transpose(1, 0, 2).reshape(24, -1)
+    scal = np.asarray(outs[-1]).transpose(1, 0, 2).reshape(8, -1)
+    for b in range(B):
+        rbeg = int(scal[3, b])
+        pos = int(qlens[b]) - 1 - rbeg
+        cums = np.cumsum(fin_us[:, :, b], axis=0)
+        got = int(fin_ub[pos // 8, b] + cums[pos % 8, pos // 8])
+        rs, _ = O.pairwise(qs[b], ts[b], 0, BW, mtx, -3, -2, 0, 0)
+        assert got == rs.score, (b, got, rs.score)
+
+
+def test_metrics_counters():
+    from bsalign_tpu.utils import metrics
+    metrics.reset()
+    with metrics.timed("unit_test", 1000.0):
+        pass
+    c = metrics.counters()["unit_test"]
+    assert c.cells == 1000.0 and c.calls == 1
+    metrics.reset()
