@@ -118,8 +118,12 @@ def make_sharded_pallas_forward(T, W, mode, piecewise, gapo1, gape1, gapo2,
         # out structure depends on piecewise; probe via eval_shape
         outs = jax.eval_shape(call, *ops)
         out_specs = tuple(sharded for _ in outs)
-        f = shard_map(local, mesh=mesh, in_specs=in_specs,
-                      out_specs=out_specs, check_rep=False)
+        try:
+            f = shard_map(local, mesh=mesh, in_specs=in_specs,
+                          out_specs=out_specs, check_vma=False)
+        except TypeError:  # older jax spelling
+            f = shard_map(local, mesh=mesh, in_specs=in_specs,
+                          out_specs=out_specs, check_rep=False)
         return jax.jit(f)(*ops)
 
     return run, prepare
