@@ -1005,31 +1005,34 @@ class BSPOA:
         self.qlt = []
         self.alt = []
         self._mask_lead_tail_gaps(nseq)
+        # vectorized majority vote with the reference's first-seen-rank
+        # tie-break (bsalign bspoa.h:3337-3360)
+        cols = [self.msacols[self.msaidxs[p]] for p in range(mlen)]
+        sub = np.stack(cols)[:, :nseq]                  # [mlen, nseq]
+        cnts = np.zeros((mlen, 5), np.int64)
+        rank = np.full((mlen, 5), 0xFFFF, np.int64)
+        for v in range(5):
+            hit = sub == v
+            cnts[:, v] = hit.sum(axis=1)
+            any_v = hit.any(axis=1)
+            rank[:, v] = np.where(any_v, hit.argmax(axis=1), 0xFFFF)
+        rows = np.arange(mlen)
+        bsel = np.full(mlen, 4, np.int64)
+        for i in range(4):
+            cb = cnts[rows, bsel]
+            rb = rank[rows, bsel]
+            take = cnts[:, i] > cb
+            tie = (cnts[:, i] != 0) & (cnts[:, i] == cb) \
+                & ((rank[:, i] < rb) | (bsel == 4))
+            bsel = np.where(take | tie, i, bsel)
         for pos in range(mlen):
-            col = self.msacols[self.msaidxs[pos]]
-            bcnts = [0] * 7
-            brank = [0xFFFF] * 7
-            for rid in range(nseq):
-                b = col[rid]
-                bcnts[b] += 1
-                if brank[b] == 0xFFFF:
-                    brank[b] = rid
-            b = 4
-            for i in range(4):
-                if bcnts[i] > bcnts[b]:
-                    b = i
-                elif bcnts[i] and bcnts[i] == bcnts[b]:
-                    if brank[i] < brank[b] or b == 4:
-                        b = i
-            col[nall] = b
+            col = cols[pos]
+            col[nall] = bsel[pos]
             col[nall + 1] = 0
-            if b < 4:
-                self.cns.append(b)
-                self.qlt.append(0)
-                self.alt.append(0)
-        self.cns = np.array(self.cns, np.uint8)
-        self.qlt = np.array(self.qlt, np.uint8)
-        self.alt = np.array(self.alt, np.uint8)
+        keep = bsel < 4
+        self.cns = bsel[keep].astype(np.uint8)
+        self.qlt = np.zeros(len(self.cns), np.uint8)
+        self.alt = np.zeros(len(self.cns), np.uint8)
         for rid in range(nseq):
             cpos = 0
             vi = g.ndoffs[rid]
