@@ -15,7 +15,7 @@ from typing import List, Sequence, Tuple
 import numpy as np
 
 from ..cigar import AlnResult
-from ..constants import (MODE_EXTEND, MODE_GLOBAL, MODE_KMER, MODE_OVERLAP,
+from ..constants import (MODE_EXTEND, MODE_GLOBAL, MODE_OVERLAP,
                          mode_type, roundup)
 from ..oracle import edit as OE
 from ..ops import edit_jax as K

@@ -14,9 +14,8 @@ import numpy as np
 
 from ..cigar import AlnResult
 from ..constants import (MODE_GLOBAL, MODE_OVERLAP, SCORE_EPI8_MIN,
-                         SCORE_MIN, WORDSIZE, mode_type, roundup)
+                         WORDSIZE, mode_type, roundup)
 from ..oracle import banded8 as O
-from ..ops import banded8_jax as K
 
 WS = WORDSIZE
 

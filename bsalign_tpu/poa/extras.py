@@ -18,7 +18,7 @@ Equivalents of the reference's auxiliary BSPOA surface:
 from __future__ import annotations
 
 import copy
-from typing import List, Optional, Sequence
+from typing import List, Sequence
 
 import numpy as np
 

@@ -7,10 +7,9 @@ packing for device transfer lives in bsalign_tpu/align.
 """
 from __future__ import annotations
 
-import gzip
 import io
 from dataclasses import dataclass, field
-from typing import Iterator, List, Tuple
+from typing import Iterator, List
 
 import numpy as np
 
