@@ -73,6 +73,13 @@ def rowops_lib():
             ctypes.c_int, ctypes.c_int,
         ]
         lib.bsa8_row_merge.restype = None
+        lib.bsa8_row_update_slot.argtypes = \
+            [ctypes.c_void_p] * 5 + [ctypes.c_int] * 12 + \
+            [ctypes.c_int64, ctypes.c_long, ctypes.c_long]
+        lib.bsa8_row_update_slot.restype = None
+        lib.bsa8_row_merge_slot.argtypes = \
+            [ctypes.c_void_p] * 4 + [ctypes.c_int] * 2 + [ctypes.c_long] * 2
+        lib.bsa8_row_merge_slot.restype = None
         lib.bsa8_getscore.argtypes = [c_i8p, c_i64p, ctypes.c_int,
                                       ctypes.c_int]
         lib.bsa8_getscore.restype = ctypes.c_int64
@@ -105,5 +112,18 @@ def rowops_lib():
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long,
         ]
         lib.bsa8_backcal.restype = ctypes.c_long
+        ge_args = [ctypes.c_void_p] * 12
+        lib.bsa_g_chg_edge.argtypes = ge_args + [ctypes.c_long] * 3
+        lib.bsa_g_chg_edge.restype = ctypes.c_long
+        lib.bsa_g_mov_node_edges.argtypes = ge_args + [ctypes.c_long] * 5
+        lib.bsa_g_mov_node_edges.restype = ctypes.c_long
+        gf_args = [ctypes.c_void_p] * 17
+        for nm, nex in (("bsa_g_connect", 2), ("bsa_g_disconnect", 2),
+                        ("bsa_g_cut_rdnode", 3), ("bsa_g_merge_nodes", 2),
+                        ("bsa_gf_chg_edge", 3),
+                        ("bsa_gf_mov_node_edges", 5)):
+            fn = getattr(lib, nm)
+            fn.argtypes = gf_args + [ctypes.c_long] * nex
+            fn.restype = ctypes.c_long
         _LIB = lib
         return _LIB

@@ -889,3 +889,378 @@ extern "C" long bsa8_backcal(
     for (long k = 0; k < n; k++) cg_out[k] = acc[acc.size() - 1 - k];
     return (long)acc.size();
 }
+
+// ---- POA graph edge ops over SoA arrays (bspoa.h:430-736) ----
+// Arrays are the same memory the Python Graph exposes; estate =
+// [edge_count, recycle_count, capacity, error].
+struct GEdges {
+    i32 *nd_cov, *nd_nin, *nd_nou, *nd_edge, *nd_erev;
+    const i32 *nd_header;
+    i32 *ed_node, *ed_cov, *ed_vst, *ed_next;
+    i64 *estate;
+    i32 *ecyc;
+};
+
+static long g_get_edge(GEdges &G, long u, long v) {
+    long eidx = G.nd_edge[u];
+    while (eidx) {
+        if (G.ed_node[eidx] == v) return eidx;
+        eidx = G.ed_next[eidx];
+    }
+    return 0;
+}
+
+static long g_new_edge(GEdges &G, long u, long v, long cov) {
+    long eidx;
+    if (G.estate[1] > 0) {
+        G.estate[1] -= 1;
+        eidx = G.ecyc[G.estate[1]];
+    } else {
+        if (G.estate[0] + 2 > G.estate[2]) {
+            G.estate[3] = 1;  // capacity exhausted (caller pre-encaps)
+            return -1;
+        }
+        eidx = G.estate[0];
+        G.estate[0] += 2;
+    }
+    G.ed_vst[eidx] = G.ed_vst[eidx + 1] = 0;
+    G.ed_next[eidx] = G.ed_next[eidx + 1] = 0;
+    G.ed_node[eidx] = (i32)v;
+    G.ed_node[eidx + 1] = (i32)u;
+    G.ed_cov[eidx] = (i32)cov;
+    G.ed_cov[eidx + 1] = (i32)cov;
+    return eidx;
+}
+
+static void g_add_edge_core(GEdges &G, long v, long eidx) {
+    i32 *headp;
+    if (eidx & 1) {
+        G.nd_nin[v] += 1;
+        headp = &G.nd_erev[v];
+    } else {
+        G.nd_nou[v] += 1;
+        headp = &G.nd_edge[v];
+    }
+    const i32 ecov = G.ed_cov[eidx];
+    long head = *headp;
+    if (head == 0) {
+        *headp = (i32)eidx;
+        return;
+    }
+    if (ecov > G.ed_cov[head]) {
+        G.ed_next[eidx] = (i32)head;
+        *headp = (i32)eidx;
+        return;
+    }
+    long p = head;
+    while (G.ed_next[p]) {
+        long f = G.ed_next[p];
+        if (ecov > G.ed_cov[f]) break;
+        p = f;
+    }
+    G.ed_next[eidx] = G.ed_next[p];
+    G.ed_next[p] = (i32)eidx;
+}
+
+static void g_del_edge_core(GEdges &G, long v, long eidx) {
+    i32 *headp = (eidx & 1) ? &G.nd_erev[v] : &G.nd_edge[v];
+    long cur = *headp, prev = -1;
+    while (cur) {
+        if (cur == eidx) {
+            if (prev < 0) *headp = G.ed_next[eidx];
+            else G.ed_next[prev] = G.ed_next[eidx];
+            G.ed_next[eidx] = 0;
+            break;
+        }
+        prev = cur;
+        cur = G.ed_next[cur];
+    }
+    if (!cur) { G.estate[3] = 2; return; }   // edge not found
+    if (eidx & 1) {
+        G.nd_nin[v] -= 1;
+    } else {
+        G.nd_nou[v] -= 1;
+        G.ecyc[G.estate[1]] = (i32)eidx;
+        G.estate[1] += 1;
+    }
+}
+
+static long g_chg_edge(GEdges &G, long _u, long _v, long cov) {
+    if (cov == 0) return 0;
+    long u = G.nd_header[_u];
+    long v = G.nd_header[_v];
+    if (u == v) return 0;
+    long eidx = g_get_edge(G, u, v);
+    long existed = 0;
+    long ncov = cov;
+    if (eidx) {
+        existed = 1;
+        ncov = G.ed_cov[eidx] + cov;
+        g_del_edge_core(G, u, eidx);
+        g_del_edge_core(G, v, eidx + 1);
+    }
+    if (ncov > 0) {
+        eidx = g_new_edge(G, u, v, ncov);
+        if (eidx < 0) return -1;
+        g_add_edge_core(G, u, eidx);
+        g_add_edge_core(G, v, eidx + 1);
+        return (eidx << 1) | existed;
+    }
+    return existed ? 1 : 0;
+}
+
+#define GEDGE_ARGS                                                     \
+    i32 *nd_cov, i32 *nd_nin, i32 *nd_nou, i32 *nd_edge, i32 *nd_erev, \
+    const i32 *nd_header, i32 *ed_node, i32 *ed_cov, i32 *ed_vst,      \
+    i32 *ed_next, i64 *estate, i32 *ecyc
+#define GEDGE_PACK                                                        \
+    GEdges G{nd_cov, nd_nin, nd_nou, nd_edge, nd_erev, nd_header,         \
+             ed_node, ed_cov, ed_vst, ed_next, estate, ecyc}
+
+extern "C" long bsa_g_chg_edge(GEDGE_ARGS, long u, long v, long cov) {
+    GEDGE_PACK;
+    return g_chg_edge(G, u, v, cov);
+}
+
+// Move u's edges (dirn 0=out, 1=in) to v per movtype (bspoa.h:689-736).
+extern "C" long bsa_g_mov_node_edges(GEDGE_ARGS, long u, long v, long spec,
+                                     long dirn, long movtype) {
+    GEDGE_PACK;
+    // collect first: chg_edge mutates the list being walked
+    thread_local std::vector<long> chg_a, chg_b, chg_c;
+    chg_a.clear(); chg_b.clear(); chg_c.clear();
+    long eidx = dirn ? G.nd_erev[u] : G.nd_edge[u];
+    while (eidx) {
+        const long ecov = G.ed_cov[eidx];
+        const long w = G.ed_node[eidx];
+        eidx = G.ed_next[eidx];
+        long covs[4] = {0, 0, 0, 0};
+        if (w == spec) covs[1] = ecov;
+        else covs[0] = ecov;
+        for (int i = 0; i < 2; i++) {
+            for (int j = 0; j < 2; j++) {
+                const long t = (movtype >> (4 * (i * 2 + j))) & 0xF;
+                if (t == 0xF) covs[3 - j] += covs[i];
+                else if (t == 0xE) covs[3 - j] += covs[i] > 1 ? covs[i] - 1 : 0;
+                else if (t == 0x1) covs[3 - j] += covs[i] < 1 ? covs[i] : 1;
+            }
+        }
+        if (dirn) {
+            chg_a.push_back(w); chg_b.push_back(u); chg_c.push_back(covs[2] - ecov);
+            chg_a.push_back(w); chg_b.push_back(v); chg_c.push_back(covs[3]);
+        } else {
+            chg_a.push_back(u); chg_b.push_back(w); chg_c.push_back(covs[2] - ecov);
+            chg_a.push_back(v); chg_b.push_back(w); chg_c.push_back(covs[3]);
+        }
+    }
+    for (size_t k = 0; k < chg_a.size(); k++) {
+        if (chg_c[k] == 0) continue;
+        if (g_chg_edge(G, chg_a[k], chg_b[k], chg_c[k]) < 0) return -1;
+    }
+    return 0;
+}
+
+// ---- whole-op POA graph mutators (cut/merge/connect, bspoa.h:622-894) ----
+// Full SoA view: all 11 node arrays + 4 edge arrays + state.
+struct GFull {
+    i32 *rid, *cov, *rdc, *rdd, *nin, *nou, *edge, *erev, *nxt, *prv, *hdr;
+    GEdges E;
+};
+
+static inline void g_connect_idx(GFull &G, long u, long v) {
+    if (G.rdc[v]) return;
+    g_chg_edge(G.E, u, v, 1);
+    G.rdd[u] = 1;
+    G.rdc[v] = 1;
+}
+
+static inline void g_disconnect_idx(GFull &G, long u, long v) {
+    if (G.rdd[u] == 0) return;
+    g_chg_edge(G.E, u, v, -1);
+    G.rdd[u] = 0;
+    G.rdc[v] = 0;
+}
+
+static long g_mov(GFull &G, long u, long v, long spec, long dirn,
+                  long movtype);
+
+#define MOVALL_C 0x0F0F
+#define KPTONE_C 0x1E0F
+#define MOVONE_C 0xE1F0
+
+static long g_mov(GFull &G, long u, long v, long spec, long dirn,
+                  long movtype) {
+    thread_local std::vector<long> a_, b_, c_;
+    a_.clear(); b_.clear(); c_.clear();
+    long eidx = dirn ? G.erev[u] : G.edge[u];
+    while (eidx) {
+        const long ecov = G.E.ed_cov[eidx];
+        const long w = G.E.ed_node[eidx];
+        eidx = G.E.ed_next[eidx];
+        long covs[4] = {0, 0, 0, 0};
+        if (w == spec) covs[1] = ecov;
+        else covs[0] = ecov;
+        for (int i = 0; i < 2; i++)
+            for (int j = 0; j < 2; j++) {
+                const long t = (movtype >> (4 * (i * 2 + j))) & 0xF;
+                if (t == 0xF) covs[3 - j] += covs[i];
+                else if (t == 0xE) covs[3 - j] += covs[i] > 1 ? covs[i] - 1 : 0;
+                else if (t == 0x1) covs[3 - j] += covs[i] < 1 ? covs[i] : 1;
+            }
+        if (dirn) {
+            a_.push_back(w); b_.push_back(u); c_.push_back(covs[2] - ecov);
+            a_.push_back(w); b_.push_back(v); c_.push_back(covs[3]);
+        } else {
+            a_.push_back(u); b_.push_back(w); c_.push_back(covs[2] - ecov);
+            a_.push_back(v); b_.push_back(w); c_.push_back(covs[3]);
+        }
+    }
+    for (size_t k = 0; k < a_.size(); k++) {
+        if (c_[k] == 0) continue;
+        if (g_chg_edge(G.E, a_[k], b_[k], c_[k]) < 0) return -1;
+    }
+    return 0;
+}
+
+#define GFULL_ARGS \
+    i32 *nd_rid, i32 *nd_cov, i32 *nd_rdc, i32 *nd_rdd, i32 *nd_nin,      \
+    i32 *nd_nou, i32 *nd_edge, i32 *nd_erev, i32 *nd_next, i32 *nd_prev,  \
+    i32 *nd_header, i32 *ed_node, i32 *ed_cov, i32 *ed_vst, i32 *ed_next, \
+    i64 *estate, i32 *ecyc
+#define GFULL_PACK                                                         \
+    GFull G{nd_rid, nd_cov, nd_rdc, nd_rdd, nd_nin, nd_nou, nd_edge,       \
+            nd_erev, nd_next, nd_prev, nd_header,                          \
+            GEdges{nd_cov, nd_nin, nd_nou, nd_edge, nd_erev, nd_header,    \
+                   ed_node, ed_cov, ed_vst, ed_next, estate, ecyc}}
+
+extern "C" long bsa_g_connect(GFULL_ARGS, long u, long v) {
+    GFULL_PACK;
+    g_connect_idx(G, u, v);
+    return estate[3] ? -1 : 0;
+}
+
+extern "C" long bsa_g_disconnect(GFULL_ARGS, long u, long v) {
+    GFULL_PACK;
+    g_disconnect_idx(G, u, v);
+    return estate[3] ? -1 : 0;
+}
+
+extern "C" long bsa_g_cut_rdnode(GFULL_ARGS, long nnodes, long nidx,
+                                 long cut) {
+    GFULL_PACK;
+    const long node_after = nidx + 1, node_before = nidx - 1;
+    // spec headers resolved with the Python guard (idx < len(nodes))
+    auto spec_of = [&](long idx) -> long {
+        return (idx >= 0 && idx < nnodes) ? (long)G.hdr[idx] : -1;
+    };
+    const long header0 = G.hdr[nidx], header1 = G.prv[nidx];
+    const long nodecov = G.cov[G.hdr[nidx]];
+    const long u_rdd = G.rdd[nidx], u_rdc = G.rdc[nidx];
+    if ((cut & 2) && G.nxt[nidx] != nidx) {
+        G.nxt[G.prv[nidx]] = G.nxt[nidx];
+        G.prv[G.nxt[nidx]] = G.prv[nidx];
+        G.nxt[nidx] = (i32)nidx;
+        G.prv[nidx] = (i32)nidx;
+        G.hdr[nidx] = (i32)nidx;
+        long xref;
+        if (header0 == nidx) {
+            long x = header1;
+            for (;;) {
+                G.hdr[x] = (i32)header1;
+                if (G.nxt[x] == header1) break;
+                x = G.nxt[x];
+            }
+            g_mov(G, nidx, header1, spec_of(node_after), 0,
+                  u_rdd ? KPTONE_C : MOVALL_C);
+            g_mov(G, nidx, header1, spec_of(node_before), 1,
+                  u_rdc ? KPTONE_C : MOVALL_C);
+            xref = header1;
+        } else {
+            xref = header0;
+            if (u_rdd)
+                g_mov(G, xref, nidx, spec_of(node_after), 0, MOVONE_C);
+            if (u_rdc)
+                g_mov(G, xref, nidx, spec_of(node_before), 1, MOVONE_C);
+        }
+        G.cov[G.hdr[xref]] = (i32)(nodecov - 1);
+        G.cov[G.hdr[nidx]] = 1;
+    }
+    if (cut & 1) {
+        g_disconnect_idx(G, nidx - 1, nidx);
+        g_disconnect_idx(G, nidx, nidx + 1);
+    }
+    return estate[3] ? -1 : nidx;
+}
+
+extern "C" long bsa_g_merge_nodes(GFULL_ARGS, long n1, long n2) {
+    GFULL_PACK;
+    long h0 = G.hdr[n1], h1 = G.hdr[n2];
+    if (h0 == h1) return h0;
+    const long nodecov = (long)G.cov[h0] + G.cov[h1];
+    if (G.cov[h0] < G.cov[h1]) { long t = h0; h0 = h1; h1 = t; }
+    else if (G.cov[h0] > G.cov[h1]) {}
+    else if (G.rid[h0] > G.rid[h1]) { long t = h0; h0 = h1; h1 = t; }
+    if (g_mov(G, h1, h0, -1, 0, MOVALL_C) < 0) return -1;
+    if (g_mov(G, h1, h0, -1, 1, MOVALL_C) < 0) return -1;
+    G.cov[h0] = (i32)nodecov;
+    long x = h1;
+    for (;;) {
+        G.hdr[x] = (i32)h0;
+        if (G.nxt[x] == h1) break;
+        x = G.nxt[x];
+    }
+    const long p0 = G.prv[h0], p1 = G.prv[h1];
+    G.prv[h0] = (i32)p1;
+    G.prv[h1] = (i32)p0;
+    G.nxt[p1] = (i32)h0;
+    G.nxt[p0] = (i32)h1;
+    return estate[3] ? -1 : h0;
+}
+
+extern "C" long bsa_gf_chg_edge(GFULL_ARGS, long u, long v, long cov) {
+    GFULL_PACK;
+    long r = g_chg_edge(G.E, u, v, cov);
+    return estate[3] ? -1 : r;
+}
+
+extern "C" long bsa_gf_mov_node_edges(GFULL_ARGS, long u, long v, long spec,
+                                      long dirn, long movtype) {
+    GFULL_PACK;
+    if (g_mov(G, u, v, spec, dirn, movtype) < 0) return -1;
+    return estate[3] ? -1 : 0;
+}
+
+// ---- arena-slot variants of the POA row ops ----
+// Rows live in one arena indexed by mmidx: us [nslot, W, 16] i8 (+es/qs),
+// ubegs [nslot, 17] i64. One native call per row with 2 slot ints replaces
+// per-call NumPy allocation + 8 pointer lookups.
+extern "C" void bsa8_row_update_slot(
+    i8 *aus, i8 *aes, i8 *aqs, i64 *aub, const i8 *qprof, int rbeg,
+    int tbase, int W, int movx, int piecewise, int nt_max, int nt_min,
+    int gapo1, int gape1, int gapo2, int gape2, int rh_mode, i64 rh_val,
+    long src, long dst) {
+    const size_t ps = (size_t)W * WSZ;
+    bsa8_row_update(
+        aus + src * ps, aes ? aes + src * ps : nullptr,
+        aqs ? aqs + src * ps : nullptr, aub + src * (WSZ + 1),
+        aus + dst * ps, aes ? aes + dst * ps : nullptr,
+        aqs ? aqs + dst * ps : nullptr, aub + dst * (WSZ + 1),
+        qprof, rbeg, tbase, W, movx, piecewise, nt_max, nt_min, gapo1,
+        gape1, gapo2, gape2, rh_mode, rh_val);
+}
+
+extern "C" void bsa8_row_merge_slot(i8 *aus, i8 *aes, i8 *aqs, i64 *aub,
+                                    int W, int piecewise, long src,
+                                    long dst) {
+    // in-place safe: every output element is written after its inputs at
+    // the same index are consumed
+    const size_t ps = (size_t)W * WSZ;
+    bsa8_row_merge(
+        aus + src * ps, aes ? aes + src * ps : nullptr,
+        aqs ? aqs + src * ps : nullptr, aub + src * (WSZ + 1),
+        aus + dst * ps, aes ? aes + dst * ps : nullptr,
+        aqs ? aqs + dst * ps : nullptr, aub + dst * (WSZ + 1),
+        aus + dst * ps, aes ? aes + dst * ps : nullptr,
+        aqs ? aqs + dst * ps : nullptr, aub + dst * (WSZ + 1),
+        W, piecewise);
+}

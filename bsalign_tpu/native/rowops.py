@@ -136,3 +136,104 @@ def backcal(qseq, tseq, init_row, us_p, es_p, qs_p, ub_p, begs_p, b,
     (rs.score, rs.qb, rs.qe, rs.tb, rs.te, rs.mat, rs.mis, rs.ins,
      rs.dele, rs.aln) = (int(x) for x in stats)
     return [int(x) for x in cg[:n]]
+
+
+def g_chg_edge(g, u, v, cov):
+    """Native chg_edge over the graph's SoA arrays; returns (eidx, existed)."""
+    r = rowops_lib().bsa_gf_chg_edge(*gfull_args(g), u, v, cov)
+    if r < 0:
+        raise RuntimeError("native chg_edge failed")
+    return (r >> 1), (r & 1)
+
+
+def g_mov_node_edges(g, u, v, spec, dirn, movtype):
+    r = rowops_lib().bsa_gf_mov_node_edges(*gfull_args(g), u, v, spec, dirn,
+                                           movtype)
+    if r < 0:
+        raise RuntimeError("native mov_node_edges failed")
+
+
+def gfull_args(g):
+    """Cached pointer pack over the graph's SoA arrays (invalidated by the
+    graph whenever an array rebinds)."""
+    args = g._gargs
+    if args is None:
+        args = tuple(a.ctypes.data for a in g._nd) + \
+            tuple(a.ctypes.data for a in g._ed) + \
+            (g._estate.ctypes.data, g._ecyc.ctypes.data)
+        g._gargs = args
+    return args
+
+
+def g_connect(g, u, v):
+    if rowops_lib().bsa_g_connect(*gfull_args(g), u, v) < 0:
+        raise RuntimeError("native connect failed")
+
+
+def g_disconnect(g, u, v):
+    if rowops_lib().bsa_g_disconnect(*gfull_args(g), u, v) < 0:
+        raise RuntimeError("native disconnect failed")
+
+
+def g_cut_rdnode(g, nidx, cut):
+    r = rowops_lib().bsa_g_cut_rdnode(*gfull_args(g), len(g.nodes), nidx,
+                                      cut)
+    if r < 0:
+        raise RuntimeError("native cut_rdnode failed")
+    return r
+
+
+def g_merge_nodes(g, n1, n2):
+    r = rowops_lib().bsa_g_merge_nodes(*gfull_args(g), n1, n2)
+    if r < 0:
+        raise RuntimeError("native merge_nodes failed")
+    return r
+
+
+class RowArena:
+    """Contiguous row storage indexed by mmidx slot; RowState views share
+    the memory so all NumPy consumers keep working."""
+
+    def __init__(self, nslot, W, piecewise):
+        import numpy as _np
+        self.W = W
+        self.piecewise = piecewise
+        self.us = _np.zeros((nslot, W, WS), _np.int8)
+        self.es = _np.zeros((nslot, W, WS), _np.int8) if piecewise else None
+        self.qs = (_np.zeros((nslot, W, WS), _np.int8)
+                   if piecewise == 2 else None)
+        self.ub = _np.zeros((nslot, WS + 1), _np.int64)
+        self.ptrs = (self.us.ctypes.data,
+                     self.es.ctypes.data if piecewise else None,
+                     self.qs.ctypes.data if piecewise == 2 else None,
+                     self.ub.ctypes.data)
+
+    def view(self, slot):
+        st = RowState.__new__(RowState)
+        st.us = self.us[slot]
+        st.es = self.es[slot] if self.es is not None else None
+        st.qs = self.qs[slot] if self.qs is not None else None
+        st.ubegs = self.ub[slot]
+        return st
+
+    def set_from(self, slot, st):
+        self.us[slot] = st.us
+        if self.es is not None:
+            self.es[slot] = st.es
+        if self.qs is not None:
+            self.qs[slot] = st.qs
+        self.ub[slot] = st.ubegs
+
+
+def row_update_slot(arena, qprof_ptr, rbeg, base, movx, nt_max, nt_min,
+                    gapo1, gape1, gapo2, gape2, rh_mode, rh_val, src, dst):
+    rowops_lib().bsa8_row_update_slot(
+        arena.ptrs[0], arena.ptrs[1], arena.ptrs[2], arena.ptrs[3],
+        qprof_ptr, rbeg, base, arena.W, movx, arena.piecewise, nt_max,
+        nt_min, gapo1, gape1, gapo2, gape2, rh_mode, rh_val, src, dst)
+
+
+def row_merge_slot(arena, src, dst):
+    rowops_lib().bsa8_row_merge_slot(
+        arena.ptrs[0], arena.ptrs[1], arena.ptrs[2], arena.ptrs[3],
+        arena.W, arena.piecewise, src, dst)

@@ -359,33 +359,46 @@ class BSPOA:
                         rb_arr[x.rid] = x.pos
                     else:
                         re_arr[x.rid] = x.pos
+        from .graph import ED_NEXT, ED_NODE, ND_EDGE, ND_EREV, ND_HEADER, ND_NEXT
+        nd_hdr = g._nd[ND_HEADER]
+        nd_next = g._nd[ND_NEXT]
+        nd_edge = g._nd[ND_EDGE]
+        nd_erev = g._nd[ND_EREV]
+        ed_node = g._ed[ED_NODE]
+        ed_next = g._ed[ED_NEXT]
+        nodes = g.nodes
+        states = self.states
+        sels = self.sels
         for i in range(nseq):
             rb, re = rb_arr[i], re_arr[i]
             if rb >= re:
                 continue
-            for j in range(rb, re + 1):
-                u = g.rdnode(i, j)
-                h = g.nodes[u].header
-                if h in self.states:
+            base = g.ndoffs[i]
+            hs = nd_hdr[base + rb: base + re + 1]
+            for h in hs.tolist():
+                if h in states:
                     continue
-                self.sels.append(h)
-                self.states.add(h)
-                v = g.nodes[h]
+                sels.append(h)
+                states.add(h)
+                v = nodes[h]
                 v.nct = 0
                 v.vst = 0
-        for nidx in self.sels:
+        for nidx in sels:
             if nidx == nhead:
                 continue
-            u = g.nodes[nidx]
             j = 0
-            for _, e in g.iter_edges(nidx, False):
-                if e.node in self.states:
+            eidx = int(nd_edge[nidx])
+            while eidx:
+                if int(ed_node[eidx]) in states:
                     j |= 1
                     break
-            for _, e in g.iter_edges(nidx, True):
-                if e.node in self.states:
+                eidx = int(ed_next[eidx])
+            eidx = int(nd_erev[nidx])
+            while eidx:
+                if int(ed_node[eidx]) in states:
                     j |= 2
                     break
+                eidx = int(ed_next[eidx])
             if j == 3:
                 pass
             elif j == 1 or nidx == ntail:
@@ -394,17 +407,24 @@ class BSPOA:
             elif j == 2:
                 g.chg_edge(nidx, ntail, 1)
                 self.todels.append((nidx, ntail))
-        for nidx in self.sels:
-            u = g.nodes[nidx]
+        for nidx in sels:
+            u = nodes[nidx]
             bonus = 0
-            for xidx in g.ring_members(nidx):
-                bonus |= g.nodes[xidx].bless
+            xidx = nidx
+            while True:
+                bonus |= nodes[xidx].bless
                 if bonus:
                     break
+                xidx = int(nd_next[xidx])
+                if xidx == nidx:
+                    break
             u.bonus = bonus
-            for _, e in g.iter_edges(nidx, False):
-                if e.node in self.states:
-                    g.nodes[e.node].nct += 1
+            eidx = int(nd_edge[nidx])
+            while eidx:
+                en = int(ed_node[eidx])
+                if en in states:
+                    nodes[en].nct += 1
+                eidx = int(ed_next[eidx])
         return len(self.sels)
 
     def prepare_rd_align(self, par: BSPOAPar, nhead: int, ntail: int,
@@ -515,13 +535,22 @@ class BSPOA:
         init = B8.row_init(par.alnmode, self.bandwidth,
                            par.M + par.refbonus + 1, par.X, par.O, par.E,
                            par.Q, par.P)
-        self.rows[g.nodes[nhead].mmidx] = init
+        self.arena = None
+        if NR.available():
+            self.arena = NR.RowArena(mmcnt, W, self.piecewise)
+            self._qpp = [q.ctypes.data for q in self.qprof]
+            slot = g.nodes[nhead].mmidx
+            self.arena.set_from(slot, init)
+            self.rows[slot] = self.arena.view(slot)
+        else:
+            self.rows[g.nodes[nhead].mmidx] = init
         self.maxscr = SCORE_MIN
         self.maxidx = -1
         self.maxoff = -1
 
-    def _row_update(self, par: BSPOAPar, qprof, mm1: int, mm2: int, toff: int,
-                    qoff1: int, qoff2: int, base: int):
+    def _row_update(self, par: BSPOAPar, qprof_i, mm1: int, mm2: int,
+                    toff: int, qoff1: int, qoff2: int, base: int):
+        qprof = self.qprof[qprof_i]
         W = self.bandwidth // WS
         if qoff1 == qoff2:
             if qoff1:
@@ -538,11 +567,13 @@ class BSPOA:
             rh_mode, rh = NR.RH_UBEGS0, 0
         else:
             rh_mode, rh = NR.RH_GIVEN, SCORE_MIN
-        if NR.available():
-            self.rows[mm2] = NR.row_update(
-                self.rows[mm1], W, qoff2 - qoff1, self.piecewise, qprof,
-                qoff2, base, par.M + par.refbonus + 1, par.X, par.O, par.E,
-                par.Q, par.P, rh_mode, rh)
+        if self.arena is not None:
+            NR.row_update_slot(
+                self.arena, self._qpp[qprof_i], qoff2, base, qoff2 - qoff1,
+                par.M + par.refbonus + 1, par.X, par.O, par.E, par.Q, par.P,
+                rh_mode, rh, mm1, mm2)
+            if mm2 not in self.rows:
+                self.rows[mm2] = self.arena.view(mm2)
             return
         shifted = B8.row_movx(self.rows[mm1], W, qoff2 - qoff1, self.piecewise,
                               par.M + par.refbonus + 1, par.X, par.O, par.E,
@@ -594,14 +625,16 @@ class BSPOA:
                     v.vst += 1
                 else:
                     mmidx = 1 if v.vst else v.mmidx
-                    qp = self.qprof[(int(v.base == u.base)) * 2 + v.bonus]
-                    self._row_update(par, qp, u.mmidx, mmidx, v.mpos, u.rpos,
+                    qpi = (int(v.base == u.base)) * 2 + v.bonus
+                    self._row_update(par, qpi, u.mmidx, mmidx, v.mpos, u.rpos,
                                      v.rpos, v.base)
                     if v.vst:
-                        merge = (NR.row_merge if NR.available()
-                                 else B8.row_merge)
-                        self.rows[v.mmidx] = merge(
-                            self.rows[1], self.rows[v.mmidx], W, self.piecewise)
+                        if self.arena is not None:
+                            NR.row_merge_slot(self.arena, 1, v.mmidx)
+                        else:
+                            self.rows[v.mmidx] = B8.row_merge(
+                                self.rows[1], self.rows[v.mmidx], W,
+                                self.piecewise)
                     v.vst += 1
                     if v.vst == v.nct:
                         if mode_type(par.alnmode) != MODE_GLOBAL \
@@ -825,102 +858,124 @@ class BSPOA:
     # --------------------------------------------------- MSA extraction
     def sort_nodes(self) -> int:
         """Reverse-topological longest-path column assignment
-        (bspoa.h:2695-2946)."""
+        (bspoa.h:2695-2946). Hot loops read the graph's SoA arrays
+        directly (bypassing Node property views)."""
         g = self.g
         mrow = self.nseq + 3
-        for u in g.nodes:
+        from .graph import (ED_NEXT, ED_NODE, ND_EDGE, ND_EREV, ND_NEXT,
+                            ND_NIN, ND_NOU)
+        nd_nou = g._nd[ND_NOU]
+        nd_nin = g._nd[ND_NIN]
+        nd_next = g._nd[ND_NEXT]
+        nd_edge = g._nd[ND_EDGE]
+        nd_erev = g._nd[ND_EREV]
+        ed_node = g._ed[ED_NODE]
+        ed_next = g._ed[ED_NEXT]
+        nodes = g.nodes
+        n = len(nodes)
+        nou_l = nd_nou[:n].tolist()
+        for i, u in enumerate(nodes):
             u.vst = 0
-            u.nct = u.nou
+            u.nct = nou_l[i]
             u.inuse = 0
             u.mpos = 0
         stack = [g.TAIL]
         nidx = g.TAIL
         while stack:
             nidx = stack.pop()
-            u = g.nodes[nidx]
-            for _, e in g.iter_edges(nidx, True):
-                v = g.nodes[e.node]
-                if u.mpos + 1 > v.mpos:
-                    v.mpos = u.mpos + 1
+            u = nodes[nidx]
+            up1 = u.mpos + 1
+            eidx = int(nd_erev[nidx])
+            while eidx:
+                vi = int(ed_node[eidx])
+                eidx = int(ed_next[eidx])
+                v = nodes[vi]
+                if up1 > v.mpos:
+                    v.mpos = up1
                 v.vst += 1
                 if v.vst > v.nct:
                     raise RuntimeError("sort_nodes overflow")
-            for _, e in g.iter_edges(nidx, True):
-                v = g.nodes[e.node]
+            eidx = int(nd_erev[nidx])
+            while eidx:
+                vi = int(ed_node[eidx])
+                eidx = int(ed_next[eidx])
+                v = nodes[vi]
                 if v.inuse:
                     continue
                 if v.vst == v.nct:
                     ready = True
                     moff = v.mpos
-                    xidx = v.next
-                    while xidx != e.node:
-                        x = g.nodes[xidx]
+                    xidx = int(nd_next[vi])
+                    while xidx != vi:
+                        x = nodes[xidx]
                         if x.nct > x.vst:
                             ready = False
                             break
                         if x.mpos > moff:
                             moff = x.mpos
-                        xidx = x.next
+                        xidx = int(nd_next[xidx])
                     if ready:
                         v.mpos = moff
                         v.inuse = 1
-                        stack.append(e.node)
-                        xidx = v.next
-                        while xidx != e.node:
-                            x = g.nodes[xidx]
+                        stack.append(vi)
+                        xidx = int(nd_next[vi])
+                        while xidx != vi:
+                            x = nodes[xidx]
                             x.mpos = moff
-                            if x.edge:
+                            if nd_edge[xidx]:
                                 stack.append(xidx)
                                 x.inuse = 1
-                            xidx = x.next
+                            xidx = int(nd_next[xidx])
         if nidx != g.HEAD:
             raise RuntimeError("sort_nodes did not reach HEAD")
         # tail-chain compaction (bspoa.h:2861-2917)
-        for _, e in g.iter_edges(g.TAIL, True):
-            if e.node == g.HEAD:
+        teidx = int(nd_erev[g.TAIL])
+        while teidx:
+            enode = int(ed_node[teidx])
+            teidx = int(ed_next[teidx])
+            if enode == g.HEAD:
                 continue
             x_idx = g.TAIL
-            v_idx = e.node
+            v_idx = enode
             while True:
-                v = g.nodes[v_idx]
                 nou = 0
-                xidx = v.edge
+                xidx = int(nd_edge[v_idx])
                 while xidx:
-                    en = g.edges[xidx].node
+                    en = int(ed_node[xidx])
                     if en != x_idx and en != g.TAIL:
                         nou += 1
-                    xidx = g.edges[xidx].next
+                    xidx = int(ed_next[xidx])
                 if nou:
                     break
-                if v.nin != 1:
+                if nd_nin[v_idx] != 1:
                     break
                 x_idx = v_idx
-                v_idx = g.edges[g.nodes[v_idx].erev].node
+                v_idx = int(ed_node[int(nd_erev[v_idx])])
             if x_idx == g.TAIL:
                 continue
-            moff = g.nodes[v_idx].mpos - 1
+            moff = nodes[v_idx].mpos - 1
             v_idx = x_idx
-            if g.nodes[v_idx].mpos == moff:
+            if nodes[v_idx].mpos == moff:
                 continue
             while v_idx != g.TAIL:
-                v = g.nodes[v_idx]
-                xidx = v.next
+                v = nodes[v_idx]
+                xidx = int(nd_next[v_idx])
                 while True:
-                    x = g.nodes[xidx]
+                    x = nodes[xidx]
                     x.mpos = moff
-                    xidx = x.next
+                    xidx = int(nd_next[xidx])
                     if x is v:
                         break
                 moff -= 1
                 nxt = None
-                xidx = v.edge
+                xidx = int(nd_edge[v_idx])
                 while xidx:
-                    en = g.edges[xidx].node
+                    en = int(ed_node[xidx])
                     if en != g.TAIL:
                         if nxt is not None:
                             raise RuntimeError("tail chain fork")
                         nxt = en
-                    xidx = g.edges[xidx].next
+                    xidx = int(ed_next[xidx])
                 if nxt is None:
                     break
                 v_idx = nxt
@@ -938,35 +993,53 @@ class BSPOA:
         nseq = self.nrds
         self.sort_nodes()
         mlen = len(self.msaidxs)
-        for u in g.nodes:
+        from .graph import (ED_NEXT, ED_NODE, ND_EDGE, ND_EREV, ND_NEXT,
+                            ND_NIN, ND_RID)
+        nd_nin = g._nd[ND_NIN]
+        nd_next = g._nd[ND_NEXT]
+        nd_erev = g._nd[ND_EREV]
+        nd_rid = g._nd[ND_RID]
+        ed_node = g._ed[ED_NODE]
+        ed_next = g._ed[ED_NEXT]
+        nodes = g.nodes
+        n = len(nodes)
+        nin_l = nd_nin[:n].tolist()
+        for i, u in enumerate(nodes):
             u.vst = 0
-            u.nct = u.nin
+            u.nct = nin_l[i]
+        mrow_lim = self.msacols.shape[1]
+        msacols = self.msacols
+        msaidxs = self.msaidxs
         stack = [g.HEAD]
         nidx = g.HEAD
         while stack:
             nidx = stack.pop()
-            for _, e in g.iter_edges(nidx, False):
-                v = g.nodes[e.node]
+            eidx = int(g._nd[ND_EDGE][nidx])
+            while eidx:
+                vi = int(ed_node[eidx])
+                eidx = int(ed_next[eidx])
+                v = nodes[vi]
                 v.vst += 1
                 if v.vst == v.nct:
                     ready = True
-                    xidx = v.next
-                    while xidx != e.node:
-                        x = g.nodes[xidx]
+                    xidx = int(nd_next[vi])
+                    while xidx != vi:
+                        x = nodes[xidx]
                         if x.vst < x.nct:
                             ready = False
                             break
-                        xidx = x.next
+                        xidx = int(nd_next[xidx])
                     if ready:
-                        xidx = e.node
+                        xidx = vi
                         while True:
-                            x = g.nodes[xidx]
-                            if 0 <= x.mpos < mlen and x.rid < self.msacols.shape[1]:
-                                self.msacols[self.msaidxs[x.mpos], x.rid] = x.base
-                            if x.erev:
+                            x = nodes[xidx]
+                            rid = int(nd_rid[xidx])
+                            if 0 <= x.mpos < mlen and rid < mrow_lim:
+                                msacols[msaidxs[x.mpos], rid] = x.base
+                            if nd_erev[xidx]:
                                 stack.append(xidx)
-                            xidx = x.next
-                            if xidx == e.node:
+                            xidx = int(nd_next[xidx])
+                            if xidx == vi:
                                 break
                 elif v.vst > v.nct:
                     raise RuntimeError("msa fill overflow")
@@ -977,19 +1050,20 @@ class BSPOA:
 
     def _mask_lead_tail_gaps(self, nseq):
         mlen = len(self.msaidxs)
-        for rid in range(nseq):
-            for pos in range(mlen):
-                col = self.msacols[self.msaidxs[pos]]
-                if col[rid] < 4:
-                    break
-                elif col[rid] == 4:
-                    col[rid] = 5
-            for pos in range(mlen - 1, 0, -1):
-                col = self.msacols[self.msaidxs[pos]]
-                if col[rid] < 4:
-                    break
-                elif col[rid] == 4:
-                    col[rid] = 5
+        if mlen == 0 or nseq == 0:
+            return
+        order = np.asarray(self.msaidxs, np.int64)
+        mat = self.msacols[order][:, :nseq]              # display order
+        nong = mat < 4
+        any_ng = nong.any(axis=0)
+        first = np.where(any_ng, nong.argmax(axis=0), mlen)
+        last = np.where(any_ng, mlen - 1 - nong[::-1].argmax(axis=0), 0)
+        ridx = np.arange(mlen)[:, None]
+        # note: the reference's tail scan stops at pos 1 (range(mlen-1, 0, -1))
+        mask = ((ridx < first[None, :])
+                | ((ridx > last[None, :]) & (ridx >= 1))) & (mat == 4)
+        rows, cols = np.nonzero(mask)
+        self.msacols[order[rows], cols] = 5
 
     # ------------------------------------------------------------ consensus
     def simple_cns(self):

@@ -5,20 +5,33 @@ circular "aligned ring" (next/prev/header); edges come in fwd/rev pairs at
 even/odd indices with per-node linked lists kept sorted by coverage
 descending (insertion after equals — iteration order is a tie-break input to
 alignment, so it must match exactly).
+
+Storage is struct-of-arrays: the ring/edge-topology fields (header, cov,
+next/prev, edge/erev heads, nin/nou, rdc/rdd, rid) and all edge fields live
+in NumPy int32 arrays so the hot mutators (chg_edge, _mov_node_edges,
+get_edge) can run in librowops with one native call each; `Node` keeps the
+alignment-bookkeeping fields as plain attributes and exposes the shared
+fields as properties over the arrays — object views and native ops always
+see the same memory.
 """
 from __future__ import annotations
 
 from typing import List, Optional
 
+import numpy as np
+
+_NODE_GROW = 1024
+_EDGE_GROW = 4096
+
 
 class Node:
-    __slots__ = ("rid", "base", "ref", "aux", "colorful", "inuse", "bonus",
-                 "bless", "rdc", "rdd", "vst", "nin", "nou", "nct", "cov",
-                 "pos", "mpos", "cpos", "rpos", "edge", "erev", "next",
-                 "prev", "header", "mmidx")
+    __slots__ = ("g", "idx", "base", "ref", "aux", "colorful", "inuse",
+                 "bonus", "bless", "vst", "nct", "pos", "mpos", "cpos",
+                 "rpos", "mmidx")
 
-    def __init__(self, idx: int, rid: int, pos: int, base: int):
-        self.rid = rid
+    def __init__(self, g: "Graph", idx: int, rid: int, pos: int, base: int):
+        self.g = g
+        self.idx = idx
         self.base = base
         self.ref = 0
         self.aux = 0
@@ -26,50 +39,147 @@ class Node:
         self.inuse = 0
         self.bonus = 0
         self.bless = 0
-        self.rdc = 0
-        self.rdd = 0
         self.vst = 0
-        self.nin = 0
-        self.nou = 0
         self.nct = 0
-        self.cov = 1
         self.pos = pos
         self.mpos = 0
         self.cpos = 0
         self.rpos = 0
-        self.edge = 0
-        self.erev = 0
-        self.next = idx
-        self.prev = idx
-        self.header = idx
         self.mmidx = 0
+        a = g._nd
+        i = idx
+        a[ND_RID][i] = rid
+        a[ND_COV][i] = 1
+        a[ND_RDC][i] = 0
+        a[ND_RDD][i] = 0
+        a[ND_NIN][i] = 0
+        a[ND_NOU][i] = 0
+        a[ND_EDGE][i] = 0
+        a[ND_EREV][i] = 0
+        a[ND_NEXT][i] = i
+        a[ND_PREV][i] = i
+        a[ND_HEADER][i] = i
 
 
-class Edge:
-    __slots__ = ("node", "cov", "vst", "next")
+(ND_RID, ND_COV, ND_RDC, ND_RDD, ND_NIN, ND_NOU, ND_EDGE, ND_EREV,
+ ND_NEXT, ND_PREV, ND_HEADER) = range(11)
+_ND_FIELDS = ("rid", "cov", "rdc", "rdd", "nin", "nou", "edge", "erev",
+              "next", "prev", "header")
 
-    def __init__(self):
-        self.node = 0
-        self.cov = 0
-        self.vst = 0
-        self.next = 0
+(ED_NODE, ED_COV, ED_VST, ED_NEXT) = range(4)
+
+
+def _mk_prop(fi):
+    def get(self):
+        return int(self.g._nd[fi][self.idx])
+
+    def set_(self, v):
+        self.g._nd[fi][self.idx] = v
+    return property(get, set_)
+
+
+for _fi, _fn in enumerate(_ND_FIELDS):
+    setattr(Node, _fn, _mk_prop(_fi))
+
+
+class EdgeRef:
+    """View of one edge slot (valid until the graph mutates)."""
+
+    __slots__ = ("g", "idx")
+
+    def __init__(self, g: "Graph", idx: int):
+        self.g = g
+        self.idx = idx
+
+    @property
+    def node(self) -> int:
+        return int(self.g._ed[ED_NODE][self.idx])
+
+    @property
+    def cov(self) -> int:
+        return int(self.g._ed[ED_COV][self.idx])
+
+    @property
+    def vst(self) -> int:
+        return int(self.g._ed[ED_VST][self.idx])
+
+    @vst.setter
+    def vst(self, v) -> None:
+        self.g._ed[ED_VST][self.idx] = v
+
+    @property
+    def next(self) -> int:
+        return int(self.g._ed[ED_NEXT][self.idx])
+
+
+class _EdgesView:
+    __slots__ = ("g",)
+
+    def __init__(self, g: "Graph"):
+        self.g = g
+
+    def __getitem__(self, idx: int) -> EdgeRef:
+        return EdgeRef(self.g, idx)
+
+    def __len__(self) -> int:
+        return self.g._elen
 
 
 class Graph:
     """Node/edge store with the reference's exact list disciplines."""
 
+    MOVALL = 0x0F0F
+    KPTONE = 0x1E0F
+    MOVONE = 0xE1F0
+
     def __init__(self):
         self.nodes: List[Node] = []
-        self.edges: List[Edge] = [Edge(), Edge()]  # idx 0/1 reserved
-        self.ecycs: List[int] = []
+        self._nd = [np.zeros(_NODE_GROW, np.int32) for _ in range(11)]
+        self._ed = [np.zeros(_EDGE_GROW, np.int32) for _ in range(4)]
+        # estate: [0]=edge count (idx 0/1 reserved), [1]=recycle-stack size,
+        # [2]=edge capacity, [3]=error flag — shared with librowops
+        self._estate = np.array([2, 0, _EDGE_GROW, 0], np.int64)
+        self._ecyc = np.zeros(_EDGE_GROW // 2, np.int32)
+        self.edges = _EdgesView(self)
         self.HEAD = 0
         self.TAIL = 1
         self.ndoffs: List[int] = []
+        self._gargs = None                  # cached native pointer pack
+        self._native = None
+        from ..native import rowops as NR
+        if NR.available():
+            self._native = NR
+
+    # --- storage ---
+    def _encap_nodes(self) -> None:
+        n = len(self.nodes)
+        if n >= len(self._nd[0]):
+            cap = max(n + 1, len(self._nd[0]) * 2)
+            self._nd = [np.resize(a, cap) for a in self._nd]
+            self._gargs = None
+
+    @property
+    def _elen(self) -> int:
+        return int(self._estate[0])
+
+    @_elen.setter
+    def _elen(self, v: int) -> None:
+        self._estate[0] = v
+
+    def _encap_edges(self, extra: int) -> None:
+        if self._elen + extra >= len(self._ed[0]):
+            cap = max(self._elen + extra, len(self._ed[0]) * 2)
+            self._ed = [np.resize(a, cap) for a in self._ed]
+            self._estate[2] = cap
+            self._ecyc = np.resize(self._ecyc, cap // 2)
+            self._gargs = None
 
     # --- nodes ---
     def new_node(self, rid: int, pos: int, base: int) -> int:
         idx = len(self.nodes)
-        self.nodes.append(Node(idx, rid, pos, base))
+        self._encap_nodes()
+        self.nodes.append(None)
+        self.nodes[idx] = Node(self, idx, rid, pos, base)
         return idx
 
     def rdnode(self, rid: int, pos: int) -> int:
@@ -79,99 +189,112 @@ class Graph:
         return self.nodes[idx]
 
     def set_nodecov(self, u: int, cov: int) -> None:
-        self.nodes[self.nodes[u].header].cov = cov
+        nd = self._nd
+        nd[ND_COV][nd[ND_HEADER][u]] = cov
 
     def get_nodecov(self, u: int) -> int:
-        return self.nodes[self.nodes[u].header].cov
+        nd = self._nd
+        return int(nd[ND_COV][nd[ND_HEADER][u]])
 
     # --- edges ---
     def get_edge(self, _u: int, _v: int) -> int:
-        u = self.nodes[_u].header
-        v = self.nodes[_v].header
-        eidx = self.nodes[u].edge
+        nd = self._nd
+        ed = self._ed
+        u = nd[ND_HEADER][_u]
+        v = nd[ND_HEADER][_v]
+        eidx = int(nd[ND_EDGE][u])
+        nodes = ed[ED_NODE]
+        nxt = ed[ED_NEXT]
         while eidx:
-            e = self.edges[eidx]
-            if e.node == v:
+            if nodes[eidx] == v:
                 return eidx
-            eidx = e.next
+            eidx = int(nxt[eidx])
         return 0
 
     def _new_edge(self, u: int, v: int, cov: int) -> int:
-        if self.ecycs:
-            eidx = self.ecycs.pop()
-            e = self.edges[eidx]
-            r = self.edges[eidx + 1]
-            e.next = r.next = 0
-            e.vst = r.vst = 0
+        if self._estate[1]:
+            self._estate[1] -= 1
+            eidx = int(self._ecyc[self._estate[1]])
         else:
-            eidx = len(self.edges)
-            e = Edge()
-            r = Edge()
-            self.edges.append(e)
-            self.edges.append(r)
-        e.node = v
-        r.node = u
-        e.cov = cov
-        r.cov = cov
+            self._encap_edges(2)        # may rebind self._ed — fetch after
+            eidx = self._elen
+            self._elen += 2
+        ed = self._ed
+        for f in (ED_VST, ED_NEXT):
+            ed[f][eidx] = 0
+            ed[f][eidx + 1] = 0
+        ed[ED_NODE][eidx] = v
+        ed[ED_NODE][eidx + 1] = u
+        ed[ED_COV][eidx] = cov
+        ed[ED_COV][eidx + 1] = cov
         return eidx
 
     def _add_edge_core(self, v: int, eidx: int) -> None:
         """Insert into the cov-descending list; after equals (bspoa.h:464)."""
-        nd = self.nodes[v]
+        nd = self._nd
+        ed = self._ed
         if eidx & 1:
-            nd.nin += 1
-            head_attr = "erev"
+            nd[ND_NIN][v] += 1
+            head_f = ND_EREV
         else:
-            nd.nou += 1
-            head_attr = "edge"
-        head = getattr(nd, head_attr)
-        e = self.edges[eidx]
+            nd[ND_NOU][v] += 1
+            head_f = ND_EDGE
+        head = int(nd[head_f][v])
+        ecov = ed[ED_COV][eidx]
         if head == 0:
-            setattr(nd, head_attr, eidx)
+            nd[head_f][v] = eidx
             return
-        p = self.edges[head]
-        if e.cov > p.cov:
-            e.next = head
-            setattr(nd, head_attr, eidx)
+        if ecov > ed[ED_COV][head]:
+            ed[ED_NEXT][eidx] = head
+            nd[head_f][v] = eidx
             return
-        while p.next:
-            f = self.edges[p.next]
-            if e.cov > f.cov:
+        p = head
+        nxt = ed[ED_NEXT]
+        cov = ed[ED_COV]
+        while nxt[p]:
+            f = int(nxt[p])
+            if ecov > cov[f]:
                 break
             p = f
-        e.next = p.next
-        p.next = eidx
+        nxt[eidx] = nxt[p]
+        nxt[p] = eidx
 
     def _del_edge_core(self, v: int, eidx: int) -> None:
-        nd = self.nodes[v]
-        head_attr = "erev" if (eidx & 1) else "edge"
-        prev: Optional[Edge] = None
-        cur = getattr(nd, head_attr)
+        nd = self._nd
+        ed = self._ed
+        head_f = ND_EREV if (eidx & 1) else ND_EDGE
+        nxt = ed[ED_NEXT]
+        cur = int(nd[head_f][v])
+        prev = -1
         while cur:
             if cur == eidx:
-                e = self.edges[eidx]
-                if prev is None:
-                    setattr(nd, head_attr, e.next)
+                if prev < 0:
+                    nd[head_f][v] = nxt[eidx]
                 else:
-                    prev.next = e.next
-                e.next = 0
+                    nxt[prev] = nxt[eidx]
+                nxt[eidx] = 0
                 break
-            prev = self.edges[cur]
-            cur = prev.next
+            prev = cur
+            cur = int(nxt[cur])
         else:
             raise RuntimeError("edge not found")
         if eidx & 1:
-            nd.nin -= 1
+            nd[ND_NIN][v] -= 1
         else:
-            nd.nou -= 1
-            self.ecycs.append(eidx)
+            nd[ND_NOU][v] -= 1
+            self._ecyc[self._estate[1]] = eidx
+            self._estate[1] += 1
 
     def chg_edge(self, _u: Optional[int], _v: Optional[int], cov: int):
         """Returns (eidx_or_0, existed) (bspoa.h:561-606)."""
         if cov == 0 or _u is None or _v is None:
             return 0, 0
-        u = self.nodes[_u].header
-        v = self.nodes[_v].header
+        if self._native is not None:
+            self._encap_edges(4)
+            return self._native.g_chg_edge(self, _u, _v, cov)
+        nd = self._nd
+        u = int(nd[ND_HEADER][_u])
+        v = int(nd[ND_HEADER][_v])
         if u == v:
             return 0, 0
         eidx = self.get_edge(u, v)
@@ -180,7 +303,7 @@ class Graph:
             ncov = cov
         else:
             existed = 1
-            ncov = self.edges[eidx].cov + cov
+            ncov = int(self._ed[ED_COV][eidx]) + cov
             self._del_edge_core(u, eidx)
             self._del_edge_core(v, eidx + 1)
         if ncov > 0:
@@ -192,43 +315,54 @@ class Graph:
 
     # --- read-chain connectivity ---
     def connect_rdnode(self, rid: int, pos: int) -> None:
+        nd = self._nd
         u = self.rdnode(rid, pos - 1)
         v = self.rdnode(rid, pos)
-        if self.nodes[v].rdc:
+        if self._native is not None:
+            self._encap_edges(4)
+            self._native.g_connect(self, u, v)
+            return
+        if nd[ND_RDC][v]:
             return
         self.chg_edge(u, v, 1)
-        self.nodes[u].rdd = 1
-        self.nodes[v].rdc = 1
+        nd[ND_RDD][u] = 1
+        nd[ND_RDC][v] = 1
 
     def disconnect_rdnode(self, rid: int, pos: int) -> None:
+        nd = self._nd
         u = self.rdnode(rid, pos - 1)
-        if self.nodes[u].rdd == 0:
-            return
         v = self.rdnode(rid, pos)
+        if self._native is not None:
+            self._native.g_disconnect(self, u, v)
+            return
+        if nd[ND_RDD][u] == 0:
+            return
         self.chg_edge(u, v, -1)
-        self.nodes[u].rdd = 0
-        self.nodes[v].rdc = 0
+        nd[ND_RDD][u] = 0
+        nd[ND_RDC][v] = 0
 
     # --- edge moving between ring members (bspoa.h:689-735) ---
-    MOVALL = 0x0F0F
-    KPTONE = 0x1E0F
-    MOVONE = 0xE1F0
-
     def _mov_node_edges(self, u: int, v: int, spec_node: Optional[int],
                         dirn: int, movtype: int) -> None:
+        nd = self._nd
+        ed = self._ed
         if spec_node is not None and spec_node < len(self.nodes):
-            spec = self.nodes[spec_node].header
+            spec = int(nd[ND_HEADER][spec_node])
         else:
             spec = -1
-        un = self.nodes[u]
-        eidx = un.erev if dirn else un.edge
+        if self._native is not None:
+            # bound on new edge pairs: 2 chg_edge calls per moved edge
+            deg = int(nd[ND_NOU][u] if dirn == 0 else nd[ND_NIN][u])
+            self._encap_edges(4 * deg + 8)
+            self._native.g_mov_node_edges(self, u, v, spec, dirn, movtype)
+            return
+        eidx = int(nd[ND_EREV][u] if dirn else nd[ND_EDGE][u])
         chgs = []
         while eidx:
-            e = self.edges[eidx]
-            eidx = e.next
-            ecov = e.cov
-            w = e.node
-            if e.node == spec:
+            ecov = int(ed[ED_COV][eidx])
+            w = int(ed[ED_NODE][eidx])
+            nxt = int(ed[ED_NEXT][eidx])
+            if w == spec:
                 covs = [0, ecov, 0, 0]
             else:
                 covs = [ecov, 0, 0, 0]
@@ -247,49 +381,58 @@ class Graph:
             else:
                 chgs.append((u, w, covs[2] - ecov))
                 chgs.append((v, w, covs[3]))
+            eidx = nxt
         for a, b, c in chgs:
             self.chg_edge(a, b, c)
 
     def cut_rdnode(self, rid: int, pos: int, cut: int) -> int:
         """BSPOA_RDNODE_CUT{EDGE=1,NODE=2,ALL=3} (bspoa.h:741-795)."""
+        nd = self._nd
         nidx = self.rdnode(rid, pos)
-        u = self.nodes[nidx]
+        if self._native is not None:
+            deg = int(nd[ND_NOU][nidx]) + int(nd[ND_NIN][nidx]) + 2
+            self._encap_edges(4 * deg + 16)
+            return self._native.g_cut_rdnode(self, nidx, cut)
         node_after = nidx + 1
         node_before = nidx - 1
-        header0 = u.header
-        header1 = u.prev
+        header0 = int(nd[ND_HEADER][nidx])
+        header1 = int(nd[ND_PREV][nidx])
         nodecov = self.get_nodecov(nidx)
-        if (cut & 2) and u.next != nidx:
-            x = self.nodes[u.prev]
-            x.next = u.next
-            x = self.nodes[u.next]
-            x.prev = u.prev
-            u.next = nidx
-            u.prev = nidx
-            u.header = nidx
+        u_rdd = int(nd[ND_RDD][nidx])
+        u_rdc = int(nd[ND_RDC][nidx])
+        if (cut & 2) and int(nd[ND_NEXT][nidx]) != nidx:
+            nxt = nd[ND_NEXT]
+            prv = nd[ND_PREV]
+            nxt[prv[nidx]] = nxt[nidx]
+            prv[nxt[nidx]] = prv[nidx]
+            nxt[nidx] = nidx
+            prv[nidx] = nidx
+            nd[ND_HEADER][nidx] = nidx
             if header0 == nidx:
-                x = self.nodes[header1]
+                x = header1
                 while True:
-                    x.header = header1
-                    if x.next == header1:
+                    nd[ND_HEADER][x] = header1
+                    if nxt[x] == header1:
                         break
-                    x = self.nodes[x.next]
+                    x = int(nxt[x])
                 xh = header1
-                if u.rdd:
+                if u_rdd:
                     self._mov_node_edges(nidx, xh, node_after, 0, self.KPTONE)
                 else:
                     self._mov_node_edges(nidx, xh, node_after, 0, self.MOVALL)
-                if u.rdc:
+                if u_rdc:
                     self._mov_node_edges(nidx, xh, node_before, 1, self.KPTONE)
                 else:
                     self._mov_node_edges(nidx, xh, node_before, 1, self.MOVALL)
                 xref = xh
             else:
                 xref = header0
-                if u.rdd:
-                    self._mov_node_edges(xref, nidx, node_after, 0, self.MOVONE)
-                if u.rdc:
-                    self._mov_node_edges(xref, nidx, node_before, 1, self.MOVONE)
+                if u_rdd:
+                    self._mov_node_edges(xref, nidx, node_after, 0,
+                                         self.MOVONE)
+                if u_rdc:
+                    self._mov_node_edges(xref, nidx, node_before, 1,
+                                         self.MOVONE)
             self.set_nodecov(xref, nodecov - 1)
             self.set_nodecov(nidx, 1)
         if cut & 1:
@@ -299,49 +442,60 @@ class Graph:
 
     def merge_nodes(self, n1: int, n2: int) -> int:
         """Union two aligned rings (bspoa.h:797-894); returns new header."""
-        h0 = self.nodes[n1].header
-        h1 = self.nodes[n2].header
+        nd = self._nd
+        if self._native is not None:
+            h1 = int(nd[ND_HEADER][n1])
+            h2 = int(nd[ND_HEADER][n2])
+            deg = (int(nd[ND_NOU][h1]) + int(nd[ND_NIN][h1])
+                   + int(nd[ND_NOU][h2]) + int(nd[ND_NIN][h2]) + 2)
+            self._encap_edges(4 * deg + 16)
+            return self._native.g_merge_nodes(self, n1, n2)
+        h0 = int(nd[ND_HEADER][n1])
+        h1 = int(nd[ND_HEADER][n2])
         if h0 == h1:
             return h0
-        a, b = self.nodes[h0], self.nodes[h1]
-        nodecov = a.cov + b.cov
-        if a.cov < b.cov:
+        nodecov = int(nd[ND_COV][h0]) + int(nd[ND_COV][h1])
+        if nd[ND_COV][h0] < nd[ND_COV][h1]:
             h0, h1 = h1, h0
-        elif a.cov > b.cov:
+        elif nd[ND_COV][h0] > nd[ND_COV][h1]:
             pass
-        elif a.rid > b.rid:
+        elif nd[ND_RID][h0] > nd[ND_RID][h1]:
             h0, h1 = h1, h0
         self._mov_node_edges(h1, h0, None, 0, self.MOVALL)
         self._mov_node_edges(h1, h0, None, 1, self.MOVALL)
-        ns0, ns1 = self.nodes[h0], self.nodes[h1]
-        ns0.cov = nodecov
-        x = ns1
+        nd[ND_COV][h0] = nodecov
+        nxt = nd[ND_NEXT]
+        x = h1
         while True:
-            x.header = h0
-            if x.next == h1:
+            nd[ND_HEADER][x] = h0
+            if nxt[x] == h1:
                 break
-            x = self.nodes[x.next]
+            x = int(nxt[x])
         # splice the two rings (bspoa.h:879-892)
-        p0 = ns0.prev
-        p1 = ns1.prev
-        ns0.prev = p1
-        ns1.prev = p0
-        self.nodes[p1].next = h0
-        self.nodes[p0].next = h1
+        prv = nd[ND_PREV]
+        p0 = int(prv[h0])
+        p1 = int(prv[h1])
+        prv[h0] = p1
+        prv[h1] = p0
+        nxt[p1] = h0
+        nxt[p0] = h1
         return h0
 
     def ring_members(self, u: int) -> List[int]:
+        nxt = self._nd[ND_NEXT]
         out = [u]
-        x = self.nodes[u].next
+        x = int(nxt[u])
         while x != u:
             out.append(x)
-            x = self.nodes[x].next
+            x = int(nxt[x])
         return out
 
     def iter_edges(self, u: int, rev: bool):
-        eidx = self.nodes[u].erev if rev else self.nodes[u].edge
+        nd = self._nd
+        ed = self._ed
+        eidx = int(nd[ND_EREV][u] if rev else nd[ND_EDGE][u])
+        nxt = ed[ED_NEXT]
         while eidx:
-            e = self.edges[eidx]
-            nxt = e.next
-            yield eidx, e
-            eidx = nxt
+            n2 = int(nxt[eidx])
+            yield eidx, EdgeRef(self, eidx)
+            eidx = n2
