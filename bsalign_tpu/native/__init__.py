@@ -80,6 +80,24 @@ def rowops_lib():
         lib.bsa8_row_merge_slot.argtypes = \
             [ctypes.c_void_p] * 4 + [ctypes.c_int] * 2 + [ctypes.c_long] * 2
         lib.bsa8_row_merge_slot.restype = None
+        lib.bsa_align_rd_core.argtypes = \
+            [ctypes.c_void_p] * 12 + [ctypes.c_long] + \
+            [ctypes.c_void_p] * 8 + [ctypes.c_long] * 15 + \
+            [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long]
+        lib.bsa_align_rd_core.restype = ctypes.c_long
+        lib.bsa_pedit_traceback.argtypes = \
+            [ctypes.c_void_p] * 17 + [ctypes.c_void_p] * 7 \
+            + [ctypes.c_long] * 9
+        lib.bsa_pedit_traceback.restype = ctypes.c_long
+        lib.bsa_sort_nodes.argtypes = \
+            [ctypes.c_void_p] * 11 + [ctypes.c_long] * 3 + \
+            [ctypes.c_void_p, ctypes.c_long]
+        lib.bsa_sort_nodes.restype = ctypes.c_long
+        lib.bsa_msa_fill.argtypes = \
+            [ctypes.c_void_p] * 11 + [ctypes.c_long] * 3 + \
+            [ctypes.c_void_p, ctypes.c_void_p] + [ctypes.c_long] * 2 + \
+            [ctypes.c_void_p, ctypes.c_long]
+        lib.bsa_msa_fill.restype = ctypes.c_long
         lib.bsa8_getscore.argtypes = [c_i8p, c_i64p, ctypes.c_int,
                                       ctypes.c_int]
         lib.bsa8_getscore.restype = ctypes.c_int64

@@ -1264,3 +1264,446 @@ extern "C" void bsa8_row_merge_slot(i8 *aus, i8 *aes, i8 *aqs, i64 *aub,
         aqs ? aqs + dst * ps : nullptr, aub + dst * (WSZ + 1),
         W, piecewise);
 }
+
+// ---- whole-read POA forward DP (align_rd_bspoacore, bspoa.h:2515-2618) ----
+// Kahn walk over the selected subgraph with per-edge row updates/merges in
+// the slot arena; end-score candidates tracked with the reference's exact
+// getscore/row_max arithmetic.
+static i64 arena_getscore(const i8 *aus, const i64 *aub, long W, long slot,
+                          long pos) {
+    const long x = pos % W, y = pos / W;
+    i64 s = aub[slot * (WSZ + 1) + y];
+    const i8 *us = aus + slot * W * WSZ;
+    for (long i = 0; i <= x; i++) s += us[i * WSZ + y];
+    return s;
+}
+
+static void arena_row_max(const i8 *aus, const i64 *aub, long W, long slot,
+                          i64 *score_out, long *pos_out) {
+    // bsalign.h:3213-3329 tie-break tree, scalar port of oracle row_max
+    const i8 *usp = aus + slot * W * WSZ;
+    const i64 *ub = aub + slot * (WSZ + 1);
+    const long STEP = 32;
+    i64 Scr[WSZ], Max[WSZ], Idx[WSZ], Pos[WSZ];
+    for (int j = 0; j < WSZ; j++) {
+        Scr[j] = ub[j];
+        Max[j] = SCORE_MIN_I;
+        Idx[j] = j;
+        Pos[j] = j;
+    }
+    long i = 0;
+    while (i < W) {
+        const long x = (i + STEP < W ? i + STEP : W) - i;
+        i64 scr[WSZ], mx[WSZ];
+        for (int j = 0; j < WSZ; j++) { scr[j] = 0; mx[j] = -0x7FFF; }
+        for (long jj = 0; jj < x; jj++)
+            for (int j = 0; j < WSZ; j++) {
+                scr[j] += usp[(i + jj) * WSZ + j];
+                if (scr[j] > mx[j]) mx[j] = scr[j];
+            }
+        for (int j = 0; j < WSZ; j++) {
+            const i64 h = Scr[j] + mx[j];
+            if (h > Max[j]) { Idx[j] = Pos[j]; Max[j] = h; }
+            Scr[j] += scr[j];
+            Pos[j] += 1 << 8;
+        }
+        i += x;
+    }
+    i64 M0[4], I0[4];
+    for (int k = 0; k < 4; k++) { M0[k] = Max[k]; I0[k] = Idx[k]; }
+    for (int k = 0; k < 4; k++) {
+        if (Max[4 + k] > M0[k]) { I0[k] = Idx[4 + k]; M0[k] = Max[4 + k]; }
+    }
+    i64 M1[4], I1[4];
+    for (int k = 0; k < 4; k++) { M1[k] = Max[8 + k]; I1[k] = Idx[8 + k]; }
+    for (int k = 0; k < 4; k++) {
+        if (Max[12 + k] > M1[k]) { I1[k] = Idx[12 + k]; M1[k] = Max[12 + k]; }
+    }
+    for (int k = 0; k < 4; k++) {
+        if (M1[k] > M0[k]) { I0[k] = I1[k]; M0[k] = M1[k]; }
+    }
+    i64 max_score = M0[0];
+    int xk = 0;
+    for (int k = 1; k < 4; k++) {
+        if (M0[k] > max_score) { max_score = M0[k]; xk = k; }
+    }
+    const long enc = I0[xk];
+    const long lane = enc & 0xFF;
+    const long chunk = enc >> 8;
+    const long yl = (chunk + 1) * STEP < W ? (chunk + 1) * STEP : W;
+    long j_best = chunk * STEP;
+    i64 umax = SCORE_MIN_I, uscr = 0;
+    for (long j = chunk * STEP; j < yl; j++) {
+        uscr += usp[j * WSZ + lane];
+        if (uscr > umax) { j_best = j; umax = uscr; }
+    }
+    *pos_out = lane * W + j_best;
+    *score_out = max_score;
+}
+
+extern "C" long bsa_align_rd_core(
+    // node arrays
+    i32 *nd_mpos, i32 *nd_vst, i32 *nd_nct, i32 *nd_mmidx,
+    const i32 *nd_base, const i32 *nd_bonus, const i32 *nd_rpos,
+    const i32 *nd_edge, const i32 *ed_node, const i32 *ed_next,
+    const uint8_t *states,                 // bitmap over nodes
+    const i32 *sels, long nsel,
+    // arena + profiles
+    i8 *aus, i8 *aes, i8 *aqs, i64 *aub,
+    const i8 *qp0, const i8 *qp1, const i8 *qp2, const i8 *qp3,
+    // scalars
+    long W, long bandwidth, long slen, long piecewise, long nt_max,
+    long nt_min, long gapo1, long gape1, long gapo2, long gape2, long parT,
+    long is_overlap, long is_global, long nhead, long ntail,
+    // in/out best: [score, idx, off]
+    i64 *best, i32 *stack_buf, long stack_cap) {
+    const i8 *qps[4] = {qp0, qp1, qp2, qp3};
+    for (long k = 0; k < nsel; k++) nd_mpos[sels[k]] = 0x7FFFFFFF - 1;
+    nd_mpos[nhead] = -1;
+    long sp = 0;
+    stack_buf[sp++] = (i32)nhead;
+    i64 maxscr = best[0];
+    long maxidx = best[1], maxoff = best[2];
+    while (sp > 0) {
+        const long nidx = stack_buf[--sp];
+        const long u_mpos = nd_mpos[nidx];
+        const long u_mm = nd_mmidx[nidx];
+        const long u_rpos = nd_rpos[nidx];
+        const long u_base = nd_base[nidx];
+        long eidx = nd_edge[nidx];
+        while (eidx) {
+            const long vn = ed_node[eidx];
+            eidx = ed_next[eidx];
+            if (!states[vn]) continue;
+            if (u_mpos + 1 < nd_mpos[vn]) nd_mpos[vn] = (i32)(u_mpos + 1);
+            if (vn == ntail) {
+                const long maxo =
+                    (slen < u_rpos + bandwidth ? slen : u_rpos + bandwidth)
+                    - 1;
+                i64 smax = arena_getscore(aus, aub, W, u_mm, maxo - u_rpos);
+                if (slen > maxo + 1) {
+                    const i64 t1 = gapo1 + gape1 * (slen - maxo - 1);
+                    if (piecewise < 2) smax += t1;
+                    else {
+                        const i64 t2 = gapo2 + gape2 * (slen - maxo - 1);
+                        smax += t1 > t2 ? t1 : t2;
+                    }
+                }
+                smax += parT;
+                if (smax > maxscr) {
+                    maxscr = smax;
+                    maxidx = nidx;
+                    maxoff = maxo;
+                }
+                if (is_overlap) {
+                    i64 rs;
+                    long rp;
+                    arena_row_max(aus, aub, W, u_mm, &rs, &rp);
+                    if (rs > maxscr) {
+                        maxscr = rs;
+                        maxidx = nidx;
+                        maxoff = rp + u_rpos;
+                    }
+                }
+                nd_vst[vn] += 1;
+            } else {
+                const long mm2 = nd_vst[vn] ? 1 : nd_mmidx[vn];
+                const long v_rpos = nd_rpos[vn];
+                const long toff = nd_mpos[vn];
+                // rh selection (dpalign_row_update_bspoa, bspoa.h:2232)
+                int rh_mode = 0;
+                i64 rh = SCORE_MIN_I;
+                if (u_rpos == v_rpos) {
+                    if (u_rpos == 0) {
+                        if (is_overlap || toff == 0) rh = 0;
+                        else if (piecewise < 2) rh = gapo1 + gape1 * toff;
+                        else {
+                            const i64 t1 = gapo1 + gape1 * toff;
+                            const i64 t2 = gapo2 + gape2 * toff;
+                            rh = t1 > t2 ? t1 : t2;
+                        }
+                    }
+                } else if (u_rpos + W * WSZ >= v_rpos) {
+                    rh_mode = 1;
+                }
+                const long qpi =
+                    (nd_base[vn] == u_base ? 2 : 0) + nd_bonus[vn];
+                bsa8_row_update_slot(aus, aes, aqs, aub, qps[qpi],
+                                     (int)v_rpos, (int)nd_base[vn], (int)W,
+                                     (int)(v_rpos - u_rpos), (int)piecewise,
+                                     (int)nt_max, (int)nt_min, (int)gapo1,
+                                     (int)gape1, (int)gapo2, (int)gape2,
+                                     rh_mode, rh, u_mm, mm2);
+                if (nd_vst[vn])
+                    bsa8_row_merge_slot(aus, aes, aqs, aub, (int)W,
+                                        (int)piecewise, 1, nd_mmidx[vn]);
+                nd_vst[vn] += 1;
+                if (nd_vst[vn] == nd_nct[vn]) {
+                    if (!is_global && v_rpos + bandwidth >= slen) {
+                        i64 smax = arena_getscore(aus, aub, W, nd_mmidx[vn],
+                                                  slen - 1 - v_rpos) + parT;
+                        if (smax > maxscr) {
+                            maxscr = smax;
+                            maxidx = vn;
+                            maxoff = slen - 1;
+                        }
+                    }
+                    if (sp >= stack_cap) return -1;
+                    stack_buf[sp++] = (i32)vn;
+                }
+            }
+        }
+    }
+    best[0] = maxscr;
+    best[1] = maxidx;
+    best[2] = maxoff;
+    return 0;
+}
+
+// ---- pedit traceback (bspoa.h:3962-4037) with in-C ring merges ----
+extern "C" long bsa_pedit_traceback(
+    GFULL_ARGS,
+    const uint8_t *matrix0, const uint8_t *matrix1, const uint8_t *seqs0,
+    const uint8_t *seqs1, const uint8_t *mats0, const uint8_t *mats1,
+    const i64 *ndoffs,
+    long mlen, long mbeg, long mend, long HW, long rowlen,
+    long pad, long rid, long nseq_plus1, long qe) {
+    GFULL_PACK;
+    long scr = 0;
+    long xi = mend - 1, yi = mend - 1;
+    long roff = qe;
+    while (xi >= 0 && yi >= 0) {
+        const long i = xi + yi;
+        if (i < mbeg + mbeg) break;
+        const long dirn = i & 1;
+        const long moff = xi + yi;
+        const long mdir = moff & 1;
+        const long midx = (xi - yi - mdir) / 2 + HW;
+        const long xb = xi - midx;
+        const long yb = mlen - 1 - (yi + midx);
+        const long xx = midx;
+        const uint8_t *p0 = matrix0 + rowlen * moff;
+        const uint8_t *p1 = matrix1 + rowlen * moff;
+        const uint8_t *c0 = matrix0 + rowlen * (moff + 1);
+        const long sread_b = seqs0[HW + xb + xx];
+        const long scns_b = seqs1[HW + yb + xx];
+        long h = (scns_b < 4 ? mats0[scns_b * pad + HW + xb + xx] : 0)
+                 + (sread_b < 4 ? mats1[sread_b * pad + HW + yb + xx] : 0);
+        if (h > 255) h = 255;
+        long e, f;
+        if (dirn) {
+            e = p0[1 + xx + 1];
+            f = p1[1 + xx];
+        } else {
+            e = p0[1 + xx];
+            f = p1[1 + xx - 1];
+        }
+        const long s = f + c0[1 + xx];
+        if (s == f && !(xx == 0 && dirn == 0)) {
+            if (sread_b < 4) roff -= 1;
+            xi -= 1;
+        } else if (s == e) {
+            yi -= 1;
+        } else if (s == h) {
+            if (sread_b < 4) {
+                roff -= 1;
+                const long un = ndoffs[nseq_plus1 + sread_b] + yi;
+                const long vn = ndoffs[rid] + roff;
+                // merge_nodes body (same as bsa_g_merge_nodes)
+                long h0 = G.hdr[un], h1 = G.hdr[vn];
+                if (h0 != h1) {
+                    const long ncov = (long)G.cov[h0] + G.cov[h1];
+                    if (G.cov[h0] < G.cov[h1]) { long t = h0; h0 = h1; h1 = t; }
+                    else if (G.cov[h0] > G.cov[h1]) {}
+                    else if (G.rid[h0] > G.rid[h1]) { long t = h0; h0 = h1; h1 = t; }
+                    if (g_mov(G, h1, h0, -1, 0, MOVALL_C) < 0) return -2;
+                    if (g_mov(G, h1, h0, -1, 1, MOVALL_C) < 0) return -2;
+                    G.cov[h0] = (i32)ncov;
+                    long x = h1;
+                    for (;;) {
+                        G.hdr[x] = (i32)h0;
+                        if (G.nxt[x] == h1) break;
+                        x = G.nxt[x];
+                    }
+                    const long pp0 = G.prv[h0], pp1 = G.prv[h1];
+                    G.prv[h0] = (i32)pp1;
+                    G.prv[h1] = (i32)pp0;
+                    G.nxt[pp1] = (i32)h0;
+                    G.nxt[pp0] = (i32)h1;
+                }
+            }
+            scr += s;
+            xi -= 1;
+            yi -= 1;
+        } else {
+            return -1;  // traceback lost
+        }
+    }
+    return estate[3] ? -2 : scr;
+}
+
+// ---- topological MSA extraction (sort_nodes_bspoa, bspoa.h:2695-2946) ----
+extern "C" long bsa_sort_nodes(
+    i32 *mpos, i32 *vst, i32 *nct, i32 *inuse, const i32 *nin,
+    const i32 *nou, const i32 *nxt, const i32 *edge, const i32 *erev,
+    const i32 *ed_node, const i32 *ed_next, long n, long head, long tail,
+    i32 *stack_buf, long stack_cap) {
+    for (long i = 0; i < n; i++) {
+        vst[i] = 0;
+        nct[i] = nou[i];
+        inuse[i] = 0;
+        mpos[i] = 0;
+    }
+    long sp = 0;
+    stack_buf[sp++] = (i32)tail;
+    long nidx = tail;
+    while (sp > 0) {
+        nidx = stack_buf[--sp];
+        const long up1 = mpos[nidx] + 1;
+        long eidx = erev[nidx];
+        while (eidx) {
+            const long vi = ed_node[eidx];
+            eidx = ed_next[eidx];
+            if (up1 > mpos[vi]) mpos[vi] = (i32)up1;
+            vst[vi] += 1;
+            if (vst[vi] > nct[vi]) return -1;   // overflow
+        }
+        eidx = erev[nidx];
+        while (eidx) {
+            const long vi = ed_node[eidx];
+            eidx = ed_next[eidx];
+            if (inuse[vi]) continue;
+            if (vst[vi] == nct[vi]) {
+                bool ready = true;
+                long moff = mpos[vi];
+                long xidx = nxt[vi];
+                while (xidx != vi) {
+                    if (nct[xidx] > vst[xidx]) { ready = false; break; }
+                    if (mpos[xidx] > moff) moff = mpos[xidx];
+                    xidx = nxt[xidx];
+                }
+                if (ready) {
+                    mpos[vi] = (i32)moff;
+                    inuse[vi] = 1;
+                    if (sp >= stack_cap) return -3;
+                    stack_buf[sp++] = (i32)vi;
+                    xidx = nxt[vi];
+                    while (xidx != vi) {
+                        mpos[xidx] = (i32)moff;
+                        if (edge[xidx]) {
+                            if (sp >= stack_cap) return -3;
+                            stack_buf[sp++] = (i32)xidx;
+                            inuse[xidx] = 1;
+                        }
+                        xidx = nxt[xidx];
+                    }
+                }
+            }
+        }
+    }
+    if (nidx != head) return -2;               // did not reach HEAD
+    // tail-chain compaction (bspoa.h:2861-2917)
+    long teidx = erev[tail];
+    while (teidx) {
+        const long enode = ed_node[teidx];
+        teidx = ed_next[teidx];
+        if (enode == head) continue;
+        long x_idx = tail, v_idx = enode;
+        for (;;) {
+            long cnou = 0;
+            long xidx = edge[v_idx];
+            while (xidx) {
+                const long en = ed_node[xidx];
+                if (en != x_idx && en != tail) cnou++;
+                xidx = ed_next[xidx];
+            }
+            if (cnou) break;
+            if (nin[v_idx] != 1) break;
+            x_idx = v_idx;
+            v_idx = ed_node[erev[v_idx]];
+        }
+        if (x_idx == tail) continue;
+        long moff = mpos[v_idx] - 1;
+        v_idx = x_idx;
+        if (mpos[v_idx] == moff) continue;
+        while (v_idx != tail) {
+            long xidx = nxt[v_idx];
+            for (;;) {
+                mpos[xidx] = (i32)moff;
+                if (xidx == v_idx) break;
+                xidx = nxt[xidx];
+            }
+            moff -= 1;
+            long nxt_v = -1;
+            xidx = edge[v_idx];
+            while (xidx) {
+                const long en = ed_node[xidx];
+                if (en != tail) {
+                    if (nxt_v >= 0) return -4;  // tail chain fork
+                    nxt_v = en;
+                }
+                xidx = ed_next[xidx];
+            }
+            if (nxt_v < 0) break;
+            v_idx = nxt_v;
+        }
+    }
+    const long mlen = mpos[head];
+    for (long i = 0; i < n; i++) {
+        vst[i] = 0;
+        mpos[i] = (i32)(mlen - 1 - mpos[i]);
+    }
+    return mlen;
+}
+
+// ---- MSA column fill walk (msa_bspoa, bspoa.h:3156-3248) ----
+extern "C" long bsa_msa_fill(
+    const i32 *mpos, i32 *vst, i32 *nct, const i32 *nin, const i32 *nxt,
+    const i32 *edge, const i32 *erev, const i32 *nd_rid,
+    const i32 *nd_base, const i32 *ed_node, const i32 *ed_next, long n,
+    long head, long tail, uint8_t *msacols, const i64 *msaidxs, long mlen,
+    long mrow, i32 *stack_buf, long stack_cap) {
+    for (long i = 0; i < n; i++) {
+        vst[i] = 0;
+        nct[i] = nin[i];
+    }
+    long sp = 0;
+    stack_buf[sp++] = (i32)head;
+    long nidx = head;
+    while (sp > 0) {
+        nidx = stack_buf[--sp];
+        long eidx = edge[nidx];
+        while (eidx) {
+            const long vi = ed_node[eidx];
+            eidx = ed_next[eidx];
+            vst[vi] += 1;
+            if (vst[vi] == nct[vi]) {
+                bool ready = true;
+                long xidx = nxt[vi];
+                while (xidx != vi) {
+                    if (vst[xidx] < nct[xidx]) { ready = false; break; }
+                    xidx = nxt[xidx];
+                }
+                if (ready) {
+                    xidx = vi;
+                    for (;;) {
+                        const long mp = mpos[xidx];
+                        const long rid = nd_rid[xidx];
+                        if (mp >= 0 && mp < mlen && rid < mrow)
+                            msacols[msaidxs[mp] * mrow + rid] =
+                                (uint8_t)nd_base[xidx];
+                        if (erev[xidx]) {
+                            if (sp >= stack_cap) return -3;
+                            stack_buf[sp++] = (i32)xidx;
+                        }
+                        xidx = nxt[xidx];
+                        if (xidx == vi) break;
+                    }
+                }
+            } else if (vst[vi] > nct[vi]) {
+                return -1;
+            }
+        }
+    }
+    return nidx == tail ? 0 : -2;
+}

@@ -158,7 +158,8 @@ def gfull_args(g):
     graph whenever an array rebinds)."""
     args = g._gargs
     if args is None:
-        args = tuple(a.ctypes.data for a in g._nd) + \
+        # the C GFULL view covers the first 11 topology arrays
+        args = tuple(a.ctypes.data for a in g._nd[:11]) + \
             tuple(a.ctypes.data for a in g._ed) + \
             (g._estate.ctypes.data, g._ecyc.ctypes.data)
         g._gargs = args
@@ -237,3 +238,107 @@ def row_merge_slot(arena, src, dst):
     rowops_lib().bsa8_row_merge_slot(
         arena.ptrs[0], arena.ptrs[1], arena.ptrs[2], arena.ptrs[3],
         arena.W, arena.piecewise, src, dst)
+
+
+def align_rd_core(g, sels_arr, states_map, arena, qprof_ptrs, W, bandwidth,
+                  slen, piecewise, nt_max, nt_min, gapo1, gape1, gapo2,
+                  gape2, parT, is_overlap, is_global, nhead, ntail, best):
+    """Native Kahn-walk forward DP over the selected subgraph; mutates the
+    node arrays, the row arena, and best=[score, idx, off] in place."""
+    import numpy as _np
+    from ..poa.graph import (ED_NEXT, ED_NODE, ND_BASE, ND_BONUS, ND_EDGE,
+                             ND_MMIDX, ND_MPOS, ND_NCT, ND_RPOS, ND_VST)
+    nd = g._nd
+    ed = g._ed
+    stack_buf = _np.zeros(len(sels_arr) + 8, _np.int32)
+    r = rowops_lib().bsa_align_rd_core(
+        nd[ND_MPOS].ctypes.data, nd[ND_VST].ctypes.data,
+        nd[ND_NCT].ctypes.data, nd[ND_MMIDX].ctypes.data,
+        nd[ND_BASE].ctypes.data, nd[ND_BONUS].ctypes.data,
+        nd[ND_RPOS].ctypes.data, nd[ND_EDGE].ctypes.data,
+        ed[ED_NODE].ctypes.data, ed[ED_NEXT].ctypes.data,
+        states_map.ctypes.data, sels_arr.ctypes.data, len(sels_arr),
+        arena.ptrs[0], arena.ptrs[1], arena.ptrs[2], arena.ptrs[3],
+        qprof_ptrs[0], qprof_ptrs[1], qprof_ptrs[2], qprof_ptrs[3],
+        W, bandwidth, slen, piecewise, nt_max, nt_min, gapo1, gape1,
+        gapo2, gape2, parT, is_overlap, is_global, nhead, ntail,
+        best.ctypes.data, stack_buf.ctypes.data, len(stack_buf))
+    if r < 0:
+        raise RuntimeError("native align_rd_core failed")
+
+
+def pedit_traceback(g, matrix0, matrix1, seqs0, seqs1, mats0, mats1,
+                    ndoffs_arr, mlen, mbeg, mend, HW, rowlen, rid,
+                    nseq_plus1, qe):
+    """Native pedit traceback; replays safely on edge-capacity growth (the
+    path depends only on the matrices, and re-merging is a no-op)."""
+    lib = rowops_lib()
+    while True:
+        g._encap_edges(4096)
+        g._estate[3] = 0
+        r = lib.bsa_pedit_traceback(
+            *gfull_args(g), matrix0.ctypes.data, matrix1.ctypes.data,
+            seqs0.ctypes.data, seqs1.ctypes.data, mats0.ctypes.data,
+            mats1.ctypes.data, ndoffs_arr.ctypes.data, mlen, mbeg, mend,
+            HW, rowlen, mats0.shape[1], rid, nseq_plus1, qe)
+        if r == -2 and g._estate[3] == 1:
+            g._encap_edges(len(g._ed[0]))       # grow and replay
+            continue
+        if r < 0:
+            raise RuntimeError(f"native pedit traceback failed ({r})")
+        return int(r)
+
+
+def sort_nodes(g):
+    """Native topological column assignment; returns mlen."""
+    import numpy as _np
+    from ..poa.graph import (ED_NEXT, ED_NODE, ND_EDGE, ND_EREV, ND_INUSE,
+                             ND_MPOS, ND_NCT, ND_NEXT, ND_NIN, ND_NOU,
+                             ND_VST)
+    nd = g._nd
+    ed = g._ed
+    n = len(g.nodes)
+    stack = _np.zeros(n + 8, _np.int32)
+    r = rowops_lib().bsa_sort_nodes(
+        nd[ND_MPOS].ctypes.data, nd[ND_VST].ctypes.data,
+        nd[ND_NCT].ctypes.data, nd[ND_INUSE].ctypes.data,
+        nd[ND_NIN].ctypes.data, nd[ND_NOU].ctypes.data,
+        nd[ND_NEXT].ctypes.data, nd[ND_EDGE].ctypes.data,
+        nd[ND_EREV].ctypes.data, ed[ED_NODE].ctypes.data,
+        ed[ED_NEXT].ctypes.data, n, g.HEAD, g.TAIL,
+        stack.ctypes.data, len(stack))
+    if r == -1:
+        raise RuntimeError("sort_nodes overflow")
+    if r == -2:
+        raise RuntimeError("sort_nodes did not reach HEAD")
+    if r == -4:
+        raise RuntimeError("tail chain fork")
+    if r < 0:
+        raise RuntimeError(f"native sort_nodes failed ({r})")
+    return int(r)
+
+
+def msa_fill(g, msacols, msaidxs_arr, mlen, mrow):
+    import numpy as _np
+    from ..poa.graph import (ED_NEXT, ED_NODE, ND_BASE, ND_EDGE, ND_EREV,
+                             ND_MPOS, ND_NCT, ND_NEXT, ND_NIN, ND_RID,
+                             ND_VST)
+    nd = g._nd
+    ed = g._ed
+    n = len(g.nodes)
+    stack = _np.zeros(n + 8, _np.int32)
+    r = rowops_lib().bsa_msa_fill(
+        nd[ND_MPOS].ctypes.data, nd[ND_VST].ctypes.data,
+        nd[ND_NCT].ctypes.data, nd[ND_NIN].ctypes.data,
+        nd[ND_NEXT].ctypes.data, nd[ND_EDGE].ctypes.data,
+        nd[ND_EREV].ctypes.data, nd[ND_RID].ctypes.data,
+        nd[ND_BASE].ctypes.data, ed[ED_NODE].ctypes.data,
+        ed[ED_NEXT].ctypes.data, n, g.HEAD, g.TAIL,
+        msacols.ctypes.data, msaidxs_arr.ctypes.data, mlen, mrow,
+        stack.ctypes.data, len(stack))
+    if r == -1:
+        raise RuntimeError("msa fill overflow")
+    if r == -2:
+        raise RuntimeError("msa fill did not reach TAIL")
+    if r < 0:
+        raise RuntimeError(f"native msa fill failed ({r})")

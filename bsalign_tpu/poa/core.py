@@ -359,7 +359,11 @@ class BSPOA:
                         rb_arr[x.rid] = x.pos
                     else:
                         re_arr[x.rid] = x.pos
-        from .graph import ED_NEXT, ED_NODE, ND_EDGE, ND_EREV, ND_HEADER, ND_NEXT
+        from .graph import (ED_NEXT, ED_NODE, ND_BONUS, ND_EDGE, ND_EREV,
+                            ND_HEADER, ND_NCT, ND_NEXT, ND_VST)
+        NCT = g._nd[ND_NCT]
+        VST = g._nd[ND_VST]
+        BONUS = g._nd[ND_BONUS]
         nd_hdr = g._nd[ND_HEADER]
         nd_next = g._nd[ND_NEXT]
         nd_edge = g._nd[ND_EDGE]
@@ -380,9 +384,8 @@ class BSPOA:
                     continue
                 sels.append(h)
                 states.add(h)
-                v = nodes[h]
-                v.nct = 0
-                v.vst = 0
+                NCT[h] = 0
+                VST[h] = 0
         for nidx in sels:
             if nidx == nhead:
                 continue
@@ -408,7 +411,6 @@ class BSPOA:
                 g.chg_edge(nidx, ntail, 1)
                 self.todels.append((nidx, ntail))
         for nidx in sels:
-            u = nodes[nidx]
             bonus = 0
             xidx = nidx
             while True:
@@ -418,12 +420,12 @@ class BSPOA:
                 xidx = int(nd_next[xidx])
                 if xidx == nidx:
                     break
-            u.bonus = bonus
+            BONUS[nidx] = bonus
             eidx = int(nd_edge[nidx])
             while eidx:
                 en = int(ed_node[eidx])
                 if en in states:
-                    nodes[en].nct += 1
+                    NCT[en] += 1
                 eidx = int(ed_next[eidx])
         return len(self.sels)
 
@@ -588,6 +590,30 @@ class BSPOA:
     def align_rd_core(self, par: BSPOAPar, rid: int, nhead: int, ntail: int):
         g = self.g
         W = self.bandwidth // WS
+        if self.arena is not None:
+            sels_arr = np.asarray(self.sels, np.int32)
+            smap = np.zeros(len(g.nodes), np.uint8)
+            if self.states:
+                smap[np.fromiter(self.states, np.int64,
+                                 len(self.states))] = 1
+            best = np.array([self.maxscr, self.maxidx, self.maxoff],
+                            np.int64)
+            NR.align_rd_core(
+                g, sels_arr, smap, self.arena, self._qpp, W, self.bandwidth,
+                self.slen, self.piecewise, par.M + par.refbonus + 1, par.X,
+                par.O, par.E, par.Q, par.P, par.T,
+                int(mode_type(par.alnmode) == MODE_OVERLAP),
+                int(mode_type(par.alnmode) == MODE_GLOBAL), nhead, ntail,
+                best)
+            self.maxscr = int(best[0])
+            self.maxidx = int(best[1])
+            self.maxoff = int(best[2])
+            # expose arena views for alignment2graph readers
+            for nidx in self.sels:
+                mm = g.nodes[nidx].mmidx
+                if mm not in self.rows:
+                    self.rows[mm] = self.arena.view(mm)
+            return self.maxscr
         for nidx in self.sels:
             g.nodes[nidx].mpos = 0x7FFFFFFF - 1
         stack = [nhead]
@@ -862,8 +888,14 @@ class BSPOA:
         directly (bypassing Node property views)."""
         g = self.g
         mrow = self.nseq + 3
-        from .graph import (ED_NEXT, ED_NODE, ND_EDGE, ND_EREV, ND_NEXT,
-                            ND_NIN, ND_NOU)
+        if g._native is not None:
+            mlen = NR.sort_nodes(g)
+            self.msaidxs = list(range(mlen))
+            self.msacols = np.full((mlen, mrow), 4, np.uint8)
+            return mlen
+        from .graph import (ED_NEXT, ED_NODE, ND_EDGE, ND_EREV, ND_INUSE,
+                            ND_MPOS, ND_NCT, ND_NEXT, ND_NIN, ND_NOU,
+                            ND_VST)
         nd_nou = g._nd[ND_NOU]
         nd_nin = g._nd[ND_NIN]
         nd_next = g._nd[ND_NEXT]
@@ -873,58 +905,55 @@ class BSPOA:
         ed_next = g._ed[ED_NEXT]
         nodes = g.nodes
         n = len(nodes)
-        nou_l = nd_nou[:n].tolist()
-        for i, u in enumerate(nodes):
-            u.vst = 0
-            u.nct = nou_l[i]
-            u.inuse = 0
-            u.mpos = 0
+        VST = g._nd[ND_VST]
+        NCT = g._nd[ND_NCT]
+        INUSE = g._nd[ND_INUSE]
+        MPOS = g._nd[ND_MPOS]
+        VST[:n] = 0
+        NCT[:n] = nd_nou[:n]
+        INUSE[:n] = 0
+        MPOS[:n] = 0
         stack = [g.TAIL]
         nidx = g.TAIL
         while stack:
             nidx = stack.pop()
-            u = nodes[nidx]
-            up1 = u.mpos + 1
+            up1 = int(MPOS[nidx]) + 1
             eidx = int(nd_erev[nidx])
             while eidx:
                 vi = int(ed_node[eidx])
                 eidx = int(ed_next[eidx])
-                v = nodes[vi]
-                if up1 > v.mpos:
-                    v.mpos = up1
-                v.vst += 1
-                if v.vst > v.nct:
+                if up1 > MPOS[vi]:
+                    MPOS[vi] = up1
+                VST[vi] += 1
+                if VST[vi] > NCT[vi]:
                     raise RuntimeError("sort_nodes overflow")
             eidx = int(nd_erev[nidx])
             while eidx:
                 vi = int(ed_node[eidx])
                 eidx = int(ed_next[eidx])
-                v = nodes[vi]
-                if v.inuse:
+                if INUSE[vi]:
                     continue
-                if v.vst == v.nct:
+                if VST[vi] == NCT[vi]:
                     ready = True
-                    moff = v.mpos
+                    moff = int(MPOS[vi])
                     xidx = int(nd_next[vi])
                     while xidx != vi:
-                        x = nodes[xidx]
-                        if x.nct > x.vst:
+                        if NCT[xidx] > VST[xidx]:
                             ready = False
                             break
-                        if x.mpos > moff:
-                            moff = x.mpos
+                        if MPOS[xidx] > moff:
+                            moff = int(MPOS[xidx])
                         xidx = int(nd_next[xidx])
                     if ready:
-                        v.mpos = moff
-                        v.inuse = 1
+                        MPOS[vi] = moff
+                        INUSE[vi] = 1
                         stack.append(vi)
                         xidx = int(nd_next[vi])
                         while xidx != vi:
-                            x = nodes[xidx]
-                            x.mpos = moff
+                            MPOS[xidx] = moff
                             if nd_edge[xidx]:
                                 stack.append(xidx)
-                                x.inuse = 1
+                                INUSE[xidx] = 1
                             xidx = int(nd_next[xidx])
         if nidx != g.HEAD:
             raise RuntimeError("sort_nodes did not reach HEAD")
@@ -953,19 +982,17 @@ class BSPOA:
                 v_idx = int(ed_node[int(nd_erev[v_idx])])
             if x_idx == g.TAIL:
                 continue
-            moff = nodes[v_idx].mpos - 1
+            moff = int(MPOS[v_idx]) - 1
             v_idx = x_idx
-            if nodes[v_idx].mpos == moff:
+            if MPOS[v_idx] == moff:
                 continue
             while v_idx != g.TAIL:
-                v = nodes[v_idx]
                 xidx = int(nd_next[v_idx])
                 while True:
-                    x = nodes[xidx]
-                    x.mpos = moff
-                    xidx = int(nd_next[xidx])
-                    if x is v:
+                    MPOS[xidx] = moff
+                    if xidx == v_idx:
                         break
+                    xidx = int(nd_next[xidx])
                 moff -= 1
                 nxt = None
                 xidx = int(nd_edge[v_idx])
@@ -979,12 +1006,11 @@ class BSPOA:
                 if nxt is None:
                     break
                 v_idx = nxt
-        mlen = g.nodes[g.HEAD].mpos
+        mlen = int(MPOS[g.HEAD])
         self.msaidxs = list(range(mlen))
         self.msacols = np.full((mlen, mrow), 4, np.uint8)
-        for u in g.nodes:
-            u.vst = 0
-            u.mpos = mlen - 1 - u.mpos
+        VST[:n] = 0
+        MPOS[:n] = mlen - 1 - MPOS[:n]
         return mlen
 
     def msa(self) -> int:
@@ -993,23 +1019,30 @@ class BSPOA:
         nseq = self.nrds
         self.sort_nodes()
         mlen = len(self.msaidxs)
-        from .graph import (ED_NEXT, ED_NODE, ND_EDGE, ND_EREV, ND_NEXT,
-                            ND_NIN, ND_RID)
+        from .graph import (ED_NEXT, ED_NODE, ND_BASE, ND_EDGE, ND_EREV,
+                            ND_MPOS, ND_NCT, ND_NEXT, ND_NIN, ND_RID,
+                            ND_VST)
         nd_nin = g._nd[ND_NIN]
         nd_next = g._nd[ND_NEXT]
         nd_erev = g._nd[ND_EREV]
         nd_rid = g._nd[ND_RID]
         ed_node = g._ed[ED_NODE]
         ed_next = g._ed[ED_NEXT]
-        nodes = g.nodes
-        n = len(nodes)
-        nin_l = nd_nin[:n].tolist()
-        for i, u in enumerate(nodes):
-            u.vst = 0
-            u.nct = nin_l[i]
+        n = len(g.nodes)
+        VST = g._nd[ND_VST]
+        NCT = g._nd[ND_NCT]
+        MPOS = g._nd[ND_MPOS]
+        BASE = g._nd[ND_BASE]
+        VST[:n] = 0
+        NCT[:n] = nd_nin[:n]
         mrow_lim = self.msacols.shape[1]
         msacols = self.msacols
         msaidxs = self.msaidxs
+        if g._native is not None:
+            NR.msa_fill(g, msacols, np.asarray(msaidxs, np.int64), mlen,
+                        mrow_lim)
+            self._mask_lead_tail_gaps(nseq)
+            return mlen
         stack = [g.HEAD]
         nidx = g.HEAD
         while stack:
@@ -1018,30 +1051,28 @@ class BSPOA:
             while eidx:
                 vi = int(ed_node[eidx])
                 eidx = int(ed_next[eidx])
-                v = nodes[vi]
-                v.vst += 1
-                if v.vst == v.nct:
+                VST[vi] += 1
+                if VST[vi] == NCT[vi]:
                     ready = True
                     xidx = int(nd_next[vi])
                     while xidx != vi:
-                        x = nodes[xidx]
-                        if x.vst < x.nct:
+                        if VST[xidx] < NCT[xidx]:
                             ready = False
                             break
                         xidx = int(nd_next[xidx])
                     if ready:
                         xidx = vi
                         while True:
-                            x = nodes[xidx]
+                            mp = int(MPOS[xidx])
                             rid = int(nd_rid[xidx])
-                            if 0 <= x.mpos < mlen and rid < mrow_lim:
-                                msacols[msaidxs[x.mpos], rid] = x.base
+                            if 0 <= mp < mlen and rid < mrow_lim:
+                                msacols[msaidxs[mp], rid] = BASE[xidx]
                             if nd_erev[xidx]:
                                 stack.append(xidx)
                             xidx = int(nd_next[xidx])
                             if xidx == vi:
                                 break
-                elif v.vst > v.nct:
+                elif VST[vi] > NCT[vi]:
                     raise RuntimeError("msa fill overflow")
         self._mask_lead_tail_gaps(nseq)
         if nidx != g.TAIL:
@@ -1623,9 +1654,11 @@ class BSPOA:
         if NR.available():
             NR.pedit_forward(matrix0, matrix1, seqs0, seqs1, mats0, mats1,
                              mlen, mbeg, mend, bw, HW, rowlen)
-            return self._pedit_traceback(rid, qb, qe, matrix0, matrix1,
-                                         seqs0, seqs1, mats0, mats1, mlen,
-                                         mbeg, mend, bw, HW, rowlen)
+            g = self.g
+            ndoffs_arr = np.asarray(g.ndoffs, np.int64)
+            return NR.pedit_traceback(
+                g, matrix0, matrix1, seqs0, seqs1, mats0, mats1, ndoffs_arr,
+                mlen, mbeg, mend, HW, rowlen, rid, self.nseq + 1, qe)
         # init (bspoa.h:3748-3758)
         idx0 = (mbeg + mbeg) * rowlen
         matrix0[idx0:idx0 + rowlen] = 0

@@ -25,46 +25,38 @@ _EDGE_GROW = 4096
 
 
 class Node:
-    __slots__ = ("g", "idx", "base", "ref", "aux", "colorful", "inuse",
-                 "bonus", "bless", "vst", "nct", "pos", "mpos", "cpos",
-                 "rpos", "mmidx")
+    __slots__ = ("g", "idx", "ref", "aux", "colorful", "bless", "pos",
+                 "cpos")
 
     def __init__(self, g: "Graph", idx: int, rid: int, pos: int, base: int):
         self.g = g
         self.idx = idx
-        self.base = base
         self.ref = 0
         self.aux = 0
         self.colorful = 0
-        self.inuse = 0
-        self.bonus = 0
         self.bless = 0
-        self.vst = 0
-        self.nct = 0
         self.pos = pos
-        self.mpos = 0
         self.cpos = 0
-        self.rpos = 0
-        self.mmidx = 0
         a = g._nd
         i = idx
+        for f in (ND_RDC, ND_RDD, ND_NIN, ND_NOU, ND_EDGE, ND_EREV,
+                  ND_INUSE, ND_BONUS, ND_VST, ND_NCT, ND_MPOS, ND_RPOS,
+                  ND_MMIDX):
+            a[f][i] = 0
         a[ND_RID][i] = rid
         a[ND_COV][i] = 1
-        a[ND_RDC][i] = 0
-        a[ND_RDD][i] = 0
-        a[ND_NIN][i] = 0
-        a[ND_NOU][i] = 0
-        a[ND_EDGE][i] = 0
-        a[ND_EREV][i] = 0
         a[ND_NEXT][i] = i
         a[ND_PREV][i] = i
         a[ND_HEADER][i] = i
+        a[ND_BASE][i] = base
 
 
 (ND_RID, ND_COV, ND_RDC, ND_RDD, ND_NIN, ND_NOU, ND_EDGE, ND_EREV,
- ND_NEXT, ND_PREV, ND_HEADER) = range(11)
+ ND_NEXT, ND_PREV, ND_HEADER, ND_BASE, ND_MPOS, ND_VST, ND_NCT, ND_INUSE,
+ ND_BONUS, ND_RPOS, ND_MMIDX) = range(19)
 _ND_FIELDS = ("rid", "cov", "rdc", "rdd", "nin", "nou", "edge", "erev",
-              "next", "prev", "header")
+              "next", "prev", "header", "base", "mpos", "vst", "nct",
+              "inuse", "bonus", "rpos", "mmidx")
 
 (ED_NODE, ED_COV, ED_VST, ED_NEXT) = range(4)
 
@@ -134,7 +126,7 @@ class Graph:
 
     def __init__(self):
         self.nodes: List[Node] = []
-        self._nd = [np.zeros(_NODE_GROW, np.int32) for _ in range(11)]
+        self._nd = [np.zeros(_NODE_GROW, np.int32) for _ in range(19)]
         self._ed = [np.zeros(_EDGE_GROW, np.int32) for _ in range(4)]
         # estate: [0]=edge count (idx 0/1 reserved), [1]=recycle-stack size,
         # [2]=edge capacity, [3]=error flag — shared with librowops
