@@ -98,6 +98,11 @@ def rowops_lib():
             [ctypes.c_void_p, ctypes.c_void_p] + [ctypes.c_long] * 2 + \
             [ctypes.c_void_p, ctypes.c_long]
         lib.bsa_msa_fill.restype = ctypes.c_long
+        lib.bsa_alignment2graph.argtypes = \
+            [ctypes.c_void_p] * 17 + [ctypes.c_void_p] * 8 + \
+            [ctypes.c_void_p] * 8 + [ctypes.c_long] * 16 + \
+            [ctypes.c_void_p]
+        lib.bsa_alignment2graph.restype = ctypes.c_long
         lib.bsa8_getscore.argtypes = [c_i8p, c_i64p, ctypes.c_int,
                                       ctypes.c_int]
         lib.bsa8_getscore.restype = ctypes.c_int64
@@ -139,7 +144,9 @@ def rowops_lib():
         for nm, nex in (("bsa_g_connect", 2), ("bsa_g_disconnect", 2),
                         ("bsa_g_cut_rdnode", 3), ("bsa_g_merge_nodes", 2),
                         ("bsa_gf_chg_edge", 3),
-                        ("bsa_gf_mov_node_edges", 5)):
+                        ("bsa_gf_mov_node_edges", 5),
+                        ("bsa_g_cut_range", 5),
+                        ("bsa_g_connect_range", 3)):
             fn = getattr(lib, nm)
             fn.argtypes = gf_args + [ctypes.c_long] * nex
             fn.restype = ctypes.c_long

@@ -1707,3 +1707,259 @@ extern "C" long bsa_msa_fill(
     }
     return nidx == tail ? 0 : -2;
 }
+
+// ---- batched read-chain ops (loop bodies of remsa/align_rd) ----
+extern "C" long bsa_g_cut_range(GFULL_ARGS, long nnodes, long base_idx,
+                                long lo, long hi, long cut) {
+    // cut positions hi-1 .. lo (descending, like the remsa loops)
+    for (long pos = hi - 1; pos >= lo; pos--) {
+        const long nidx = base_idx + pos;
+        const long r = bsa_g_cut_rdnode(
+            nd_rid, nd_cov, nd_rdc, nd_rdd, nd_nin, nd_nou, nd_edge,
+            nd_erev, nd_next, nd_prev, nd_header, ed_node, ed_cov, ed_vst,
+            ed_next, estate, ecyc, nnodes, nidx, cut);
+        if (r < 0) return -1;
+    }
+    return 0;
+}
+
+extern "C" long bsa_g_connect_range(GFULL_ARGS, long base_idx, long lo,
+                                    long hi) {
+    GFULL_PACK;
+    for (long pos = lo; pos <= hi; pos++) {
+        g_connect_idx(G, base_idx + pos - 1, base_idx + pos);
+        if (estate[3]) return -1;
+    }
+    return 0;
+}
+
+// ---- graph traceback + fusion (alignment2graph_bspoa, bspoa.h:2274-2513) --
+// Walks predecessors by score identity (max-edge-cov tie-break), merges
+// matched read bases into rings, reconnects the read chain, and fills rs.
+extern "C" long bsa_alignment2graph(
+    GFULL_ARGS,
+    i32 *nd_mpos, const i32 *nd_rpos, const i32 *nd_mmidx,
+    const i32 *nd_base, const i32 *nd_bonus, i32 *nd_cpos,
+    const uint8_t *states, const i64 *ndoffs,
+    const i8 *aus, const i8 *aes, const i8 *aqs, const i64 *aub,
+    const i8 *qp0, const i8 *qp1, const i8 *qp2, const i8 *qp3,
+    long W, long bandwidth, long qlen, long qb, long piecewise,
+    long parO, long parE, long parQ, long parP, long is_overlap,
+    long nhead, long ntail, long midx, long xe, long rid, long rbeg,
+    i64 *rs /*[score,qb,qe,tb,te,mat,mis,ins,del,aln]*/) {
+    GFULL_PACK;
+    (void)nd_mpos;
+    const i8 *qps[4] = {qp0, qp1, qp2, qp3};
+    enum { BT_M = 0, BT_I = 1, BT_D = 2, BT_D2 = 4, BT_NONE = -1 };
+    const long rdbase = ndoffs[rid];
+    for (long i = 0; i < qlen; i++) nd_cpos[rdbase + i] = 0;
+    long x = xe;
+    rs[2] = xe + 1;                         // qe
+    rs[1] = x;                              // qb
+    long nidx = midx;
+    int bt = BT_NONE;
+    rs[4] = nd_cpos[nidx] + 1;              // te
+    const long cpos0 = nd_cpos[nidx];
+    i64 Hs1 = arena_getscore(aus, aub, W, nd_mmidx[nidx],
+                             x - nd_rpos[nidx]);
+    i64 Hs0 = 0, Hs2 = 0;
+    long cur_n = nidx;
+    auto slot_es = [&](long slot, long xi) -> long {
+        return aes ? aes[slot * W * WSZ + (xi % W) * WSZ + xi / W]
+                   : parO + parE;
+    };
+    auto slot_qs = [&](long slot, long xi) -> long {
+        return aqs ? aqs[slot * W * WSZ + (xi % W) * WSZ + xi / W] : 0;
+    };
+    auto slot_us = [&](long slot, long xi) -> long {
+        return aus[slot * W * WSZ + (xi % W) * WSZ + xi / W];
+    };
+    auto merge_rings = [&](long un, long vn) -> int {
+        long h0 = G.hdr[un], h1 = G.hdr[vn];
+        if (h0 == h1) return 0;
+        const long ncov = (long)G.cov[h0] + G.cov[h1];
+        if (G.cov[h0] < G.cov[h1]) { long t = h0; h0 = h1; h1 = t; }
+        else if (G.cov[h0] > G.cov[h1]) {}
+        else if (G.rid[h0] > G.rid[h1]) { long t = h0; h0 = h1; h1 = t; }
+        if (g_mov(G, h1, h0, -1, 0, MOVALL_C) < 0) return -1;
+        if (g_mov(G, h1, h0, -1, 1, MOVALL_C) < 0) return -1;
+        G.cov[h0] = (i32)ncov;
+        long xw = h1;
+        for (;;) {
+            G.hdr[xw] = (i32)h0;
+            if (G.nxt[xw] == h1) break;
+            xw = G.nxt[xw];
+        }
+        const long p0 = G.prv[h0], p1 = G.prv[h1];
+        G.prv[h0] = (i32)p1;
+        G.prv[h1] = (i32)p0;
+        G.nxt[p1] = (i32)h0;
+        G.nxt[p0] = (i32)h1;
+        return 0;
+    };
+    for (;;) {
+        const long n_i = cur_n;
+        if (G.hdr[n_i] == nhead || x < 0) {
+            rs[1] = x;                      // qb
+            rs[3] = nd_cpos[n_i];           // tb
+            break;
+        }
+        if (bt == BT_D || bt == BT_D2) {
+            rs[8] += 1;                     // del
+            bool found = false;
+            long eidx = G.erev[n_i];
+            while (eidx) {
+                const long wn = G.E.ed_node[eidx];
+                eidx = G.E.ed_next[eidx];
+                if (!states[wn]) continue;
+                const long wr = nd_rpos[wn];
+                if (x < wr || x >= wr + bandwidth) continue;
+                const long wslot = nd_mmidx[wn];
+                Hs0 = arena_getscore(aus, aub, W, wslot, x - wr);
+                const long xi = x - wr;
+                long q;
+                if (bt == BT_D)
+                    q = piecewise ? slot_es(wslot, xi) : parO + parE;
+                else
+                    q = slot_qs(wslot, xi);
+                if (Hs0 + q != Hs1) continue;
+                cur_n = wn;
+                if (q == (bt == BT_D ? parO + parE : parQ + parP)) {
+                    bt = BT_NONE;
+                    Hs1 = Hs0;
+                    Hs2 = 0;
+                } else {
+                    Hs1 -= bt == BT_D ? parE : parP;
+                    Hs2 += 1;
+                }
+                found = true;
+                break;
+            }
+            if (!found) return -10;         // D-traceback lost
+            continue;
+        } else if (bt == BT_I) {
+            rs[7] += 1;                     // ins
+            i64 t;
+            if (piecewise == 2) {
+                const i64 t1 = parO + parE * Hs2;
+                const i64 t2 = parQ + parP * Hs2;
+                t = t1 > t2 ? t1 : t2;
+            } else {
+                t = parO + parE * Hs2;
+            }
+            x -= 1;
+            if (Hs0 + t == Hs1) {
+                bt = BT_NONE;
+                Hs1 = Hs0;
+                Hs2 = 0;
+            } else if (x >= 0) {
+                const long xi = x - nd_rpos[n_i];
+                Hs0 -= slot_us(nd_mmidx[n_i], xi);
+                Hs2 += 1;
+            }
+            continue;
+        } else if (bt == BT_M) {
+            const long u_idx = rdbase + rbeg + qb + x;
+            nd_cpos[u_idx] = nd_cpos[n_i];
+            x -= 1;
+            if (cur_n != nhead && cur_n != ntail
+                    && nd_base[u_idx] == nd_base[n_i]) {
+                if (merge_rings(cur_n, u_idx) < 0) return -11;
+                rs[5] += 1;                 // mat
+            } else {
+                rs[6] += 1;                 // mis
+            }
+            cur_n = nidx;
+            bt = BT_NONE;
+        } else {
+            long btc = 0;
+            long best_node = -1;
+            int best_i3 = -1;
+            i64 best_h0 = 0;
+            long eidx = G.erev[n_i];
+            while (eidx) {
+                const long wn = G.E.ed_node[eidx];
+                const long ecov = G.E.ed_cov[eidx];
+                eidx = G.E.ed_next[eidx];
+                if (!states[wn]) continue;
+                const long wr = nd_rpos[wn];
+                const long wslot = nd_mmidx[wn];
+                long ft = 0;
+                if (x < wr || x > bandwidth + wr) continue;
+                else if (x == bandwidth + wr) {
+                    Hs0 = arena_getscore(aus, aub, W, wslot, x - wr - 1);
+                    ft |= (1 << BT_D) | (1 << BT_D2);
+                } else if (x == wr) {
+                    Hs0 = aub[wslot * (WSZ + 1)];
+                    if (wr == 0 && (is_overlap || wn == nhead)) ft |= 1 << 15;
+                    else ft |= 1 << BT_M;
+                } else {
+                    Hs0 = arena_getscore(aus, aub, W, wslot, x - wr - 1);
+                }
+                const long qpi =
+                    (nd_base[wn] == nd_base[n_i] ? 2 : 0) + nd_bonus[n_i];
+                long s = qps[qpi][(x * 4 + nd_base[n_i]) * WSZ];
+                if (ft & (1 << 15)) s -= aub[wslot * (WSZ + 1)];
+                const long xi = x - wr;
+                long uval = 0, eval_ = parE, qval = -1;
+                bool has_q = false;
+                if (xi >= 0 && xi < bandwidth) {
+                    uval = slot_us(wslot, xi);
+                    eval_ = aes ? slot_es(wslot, xi) : parE;
+                    if (aqs) { qval = slot_qs(wslot, xi); has_q = true; }
+                } else {
+                    uval = 0;
+                    eval_ = parE;
+                }
+                const i64 scr[3] = {
+                    (ft & (1 << BT_M)) ? SCORE_MIN_I : (i64)s,
+                    (ft & (1 << BT_D)) ? SCORE_MIN_I : (i64)(uval + eval_),
+                    (ft & (1 << BT_D2)) ? SCORE_MIN_I
+                        : (has_q ? (i64)(uval + qval) : (i64)0x1FFFFFFF)};
+                for (int i3 = 0; i3 < 3; i3++) {
+                    if (Hs0 + scr[i3] == Hs1) {
+                        if (ecov > btc) {
+                            best_node = wn;
+                            best_i3 = i3;
+                            best_h0 = Hs0;
+                            btc = ecov;
+                        } else if (ecov == btc && i3 == 0 && best_i3 > 0) {
+                            best_node = wn;
+                            best_i3 = i3;
+                            best_h0 = Hs0;
+                            btc = ecov;
+                        }
+                    }
+                }
+            }
+            if (best_i3 < 0) {
+                bt = BT_I;
+                Hs2 = 1;
+                const long xi = x - nd_rpos[n_i];
+                Hs0 = Hs1 - slot_us(nd_mmidx[n_i], xi);
+            } else if (best_i3 == 0) {
+                bt = BT_M;
+                nidx = best_node;
+                Hs1 = best_h0;
+                Hs2 = 0;
+            } else if (best_i3 == 1) {
+                bt = BT_D;
+                Hs2 = 1;
+            } else {
+                bt = BT_D2;
+                Hs2 = 1;
+            }
+        }
+    }
+    rs[1] += qb;                            // qb += self.qb
+    rs[2] += qb;                            // qe += self.qb
+    g_connect_idx(G, rdbase + rbeg + qlen - 1, rdbase + rbeg + qlen);
+    long cpos_run = cpos0;
+    for (long xx = qlen - 1; xx >= 0; xx--) {
+        g_connect_idx(G, rdbase + rbeg + xx - 1, rdbase + rbeg + xx);
+        const long vi = rdbase + xx + rbeg;
+        if (nd_cpos[vi]) cpos_run = nd_cpos[vi];
+        else nd_cpos[vi] = (i32)cpos_run;
+    }
+    return estate[3] ? -12 : 0;
+}

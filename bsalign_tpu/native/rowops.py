@@ -342,3 +342,51 @@ def msa_fill(g, msacols, msaidxs_arr, mlen, mrow):
         raise RuntimeError("msa fill did not reach TAIL")
     if r < 0:
         raise RuntimeError(f"native msa fill failed ({r})")
+
+
+def g_cut_range(g, rid, lo, hi, cut):
+    """cut_rdnode over positions hi-1..lo (descending)."""
+    import numpy as _np
+    # worst-case edge growth per cut is bounded by local degree; size for
+    # the whole range generously and grow the stack headroom once
+    g._encap_edges(8 * (hi - lo) + 64)
+    r = rowops_lib().bsa_g_cut_range(*gfull_args(g), len(g.nodes),
+                                     g.ndoffs[rid], lo, hi, cut)
+    if r < 0:
+        raise RuntimeError("native cut_range failed")
+
+
+def g_connect_range(g, rid, lo, hi):
+    g._encap_edges(4 * (hi - lo + 1) + 64)
+    r = rowops_lib().bsa_g_connect_range(*gfull_args(g), g.ndoffs[rid], lo,
+                                         hi)
+    if r < 0:
+        raise RuntimeError("native connect_range failed")
+
+
+def alignment2graph(g, arena, qprof_ptrs, states_map, ndoffs_arr, W,
+                    bandwidth, qlen, qb, piecewise, parO, parE, parQ, parP,
+                    is_overlap, nhead, ntail, midx, xe, rid, rbeg, rs):
+    """Native graph traceback + ring fusion; fills rs (AlnResult)."""
+    import numpy as _np
+    from ..poa.graph import (ND_BASE, ND_BONUS, ND_CPOS, ND_MMIDX, ND_MPOS,
+                             ND_RPOS)
+    g._encap_edges(16 * (qlen + 4) + 1024)
+    nd = g._nd
+    out = _np.zeros(10, _np.int64)
+    r = rowops_lib().bsa_alignment2graph(
+        *gfull_args(g),
+        nd[ND_MPOS].ctypes.data, nd[ND_RPOS].ctypes.data,
+        nd[ND_MMIDX].ctypes.data, nd[ND_BASE].ctypes.data,
+        nd[ND_BONUS].ctypes.data, nd[ND_CPOS].ctypes.data,
+        states_map.ctypes.data, ndoffs_arr.ctypes.data,
+        arena.ptrs[0], arena.ptrs[1], arena.ptrs[2], arena.ptrs[3],
+        qprof_ptrs[0], qprof_ptrs[1], qprof_ptrs[2], qprof_ptrs[3],
+        W, bandwidth, qlen, qb, piecewise, parO, parE, parQ, parP,
+        is_overlap, nhead, ntail, midx, xe, rid, rbeg,
+        out.ctypes.data)
+    if r < 0:
+        raise RuntimeError(f"native alignment2graph failed ({r})")
+    (rs.score, rs.qb, rs.qe, rs.tb, rs.te, rs.mat, rs.mis, rs.ins,
+     rs.dele, rs.aln) = (int(v) for v in out)
+    return rs

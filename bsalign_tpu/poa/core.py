@@ -679,6 +679,19 @@ class BSPOA:
                         ntail: int, midx: int, xe: int) -> AlnResult:
         g = self.g
         W = self.bandwidth // WS
+        if self.arena is not None:
+            smap = np.zeros(len(g.nodes), np.uint8)
+            if self.states:
+                smap[np.fromiter(self.states, np.int64,
+                                 len(self.states))] = 1
+            rs = AlnResult()
+            NR.alignment2graph(
+                g, self.arena, self._qpp, smap,
+                np.asarray(g.ndoffs, np.int64), W, self.bandwidth,
+                self.qlen, self.qb, self.piecewise, par.O, par.E, par.Q,
+                par.P, int(mode_type(par.alnmode) == MODE_OVERLAP), nhead,
+                ntail, midx, xe, rid, rbeg, rs)
+            return rs
         BT_M, BT_I, BT_D, BT_D2 = 0, 1, 2, 4
         for i in range(self.qlen):
             g.nodes[g.rdnode(rid, i)].cpos = 0
@@ -1608,23 +1621,43 @@ class BSPOA:
                 qb, qe = 0, rdlen
             lc = 4
             cc = 0
-            for i in range(qe, qb, -1):
-                vi = g.cut_rdnode(rid, i - 1, 3)
-                v = g.nodes[vi]
-                seqs0[HW + v.mpos] = v.base
-                if v.base == lc:
-                    if cc < 255:
-                        cc += 1
-                    mats0[v.base, HW + v.mpos] = cc
-                else:
-                    lc = v.base
-                    cc = 0
+            if g._native is not None:
+                from .graph import ND_BASE, ND_MPOS
+                NR.g_cut_range(g, rid, qb, qe, 3)
+                base0 = g.ndoffs[rid]
+                mps = g._nd[ND_MPOS][base0 + qb: base0 + qe].tolist()
+                bss = g._nd[ND_BASE][base0 + qb: base0 + qe].tolist()
+                for k in range(qe - qb - 1, -1, -1):
+                    vb = bss[k]
+                    seqs0[HW + mps[k]] = vb
+                    if vb == lc:
+                        if cc < 255:
+                            cc += 1
+                        mats0[vb, HW + mps[k]] = cc
+                    else:
+                        lc = vb
+                        cc = 0
+            else:
+                for i in range(qe, qb, -1):
+                    vi = g.cut_rdnode(rid, i - 1, 3)
+                    v = g.nodes[vi]
+                    seqs0[HW + v.mpos] = v.base
+                    if v.base == lc:
+                        if cc < 255:
+                            cc += 1
+                        mats0[v.base, HW + v.mpos] = cc
+                    else:
+                        lc = v.base
+                        cc = 0
             mbeg = g.nodes[g.rdnode(rid, qb)].mpos
             mend = g.nodes[g.rdnode(rid, qe - 1)].mpos + 1
             self._pedit_rd(rid, qb, qe, matrix0, matrix1, seqs0, seqs1, mats0,
                            mats1, mlen, mbeg, mend, bandwidth, HW, rowlen)
-            for i in range(rdlen + 1):
-                g.connect_rdnode(rid, i)
+            if g._native is not None:
+                NR.g_connect_range(g, rid, 0, rdlen)
+            else:
+                for i in range(rdlen + 1):
+                    g.connect_rdnode(rid, i)
         self.del_msanodes()
         if all_:
             self.nrds = self.nseq
@@ -2078,8 +2111,11 @@ class BSPOA:
                     y -= 1
                 if x < mbeg or y < mbeg:
                     break
-            for i in range(rdlen + 1):
-                g.connect_rdnode(rid, i)
+            if g._native is not None:
+                NR.g_connect_range(g, rid, 0, rdlen)
+            else:
+                for i in range(rdlen + 1):
+                    g.connect_rdnode(rid, i)
         self.del_msanodes()
 
     # ------------------------------------------------------------ printing

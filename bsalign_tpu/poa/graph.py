@@ -25,8 +25,7 @@ _EDGE_GROW = 4096
 
 
 class Node:
-    __slots__ = ("g", "idx", "ref", "aux", "colorful", "bless", "pos",
-                 "cpos")
+    __slots__ = ("g", "idx", "ref", "aux", "colorful", "bless", "pos")
 
     def __init__(self, g: "Graph", idx: int, rid: int, pos: int, base: int):
         self.g = g
@@ -36,12 +35,11 @@ class Node:
         self.colorful = 0
         self.bless = 0
         self.pos = pos
-        self.cpos = 0
         a = g._nd
         i = idx
         for f in (ND_RDC, ND_RDD, ND_NIN, ND_NOU, ND_EDGE, ND_EREV,
                   ND_INUSE, ND_BONUS, ND_VST, ND_NCT, ND_MPOS, ND_RPOS,
-                  ND_MMIDX):
+                  ND_MMIDX, ND_CPOS):
             a[f][i] = 0
         a[ND_RID][i] = rid
         a[ND_COV][i] = 1
@@ -53,10 +51,10 @@ class Node:
 
 (ND_RID, ND_COV, ND_RDC, ND_RDD, ND_NIN, ND_NOU, ND_EDGE, ND_EREV,
  ND_NEXT, ND_PREV, ND_HEADER, ND_BASE, ND_MPOS, ND_VST, ND_NCT, ND_INUSE,
- ND_BONUS, ND_RPOS, ND_MMIDX) = range(19)
+ ND_BONUS, ND_RPOS, ND_MMIDX, ND_CPOS) = range(20)
 _ND_FIELDS = ("rid", "cov", "rdc", "rdd", "nin", "nou", "edge", "erev",
               "next", "prev", "header", "base", "mpos", "vst", "nct",
-              "inuse", "bonus", "rpos", "mmidx")
+              "inuse", "bonus", "rpos", "mmidx", "cpos")
 
 (ED_NODE, ED_COV, ED_VST, ED_NEXT) = range(4)
 
@@ -126,7 +124,7 @@ class Graph:
 
     def __init__(self):
         self.nodes: List[Node] = []
-        self._nd = [np.zeros(_NODE_GROW, np.int32) for _ in range(19)]
+        self._nd = [np.zeros(_NODE_GROW, np.int32) for _ in range(20)]
         self._ed = [np.zeros(_EDGE_GROW, np.int32) for _ in range(4)]
         # estate: [0]=edge count (idx 0/1 reserved), [1]=recycle-stack size,
         # [2]=edge capacity, [3]=error flag — shared with librowops
