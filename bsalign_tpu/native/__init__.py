@@ -103,6 +103,11 @@ def rowops_lib():
             [ctypes.c_void_p] * 8 + [ctypes.c_long] * 16 + \
             [ctypes.c_void_p]
         lib.bsa_alignment2graph.restype = ctypes.c_long
+        lib.bsa_edit_forward.argtypes = \
+            [ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p,
+             ctypes.c_long, ctypes.c_long, ctypes.c_long, ctypes.c_long,
+             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+        lib.bsa_edit_forward.restype = ctypes.c_long
         lib.bsa8_getscore.argtypes = [c_i8p, c_i64p, ctypes.c_int,
                                       ctypes.c_int]
         lib.bsa8_getscore.restype = ctypes.c_int64

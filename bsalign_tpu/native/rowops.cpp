@@ -1963,3 +1963,100 @@ extern "C" long bsa_alignment2graph(
     }
     return estate[3] ? -12 : 0;
 }
+
+// ---- scalar edit-distance forward (striped_seqedit driver loop,
+// bsalign.h:1046-1206 / oracle/edit.edit_pairwise) ----
+extern "C" long bsa_edit_forward(
+    const uint8_t *qseq, long qlen, const uint8_t *tseq, long tlen,
+    long bandwidth, long is_overlap, long is_extend,
+    i8 *uts /*[(tlen+1) * bandwidth]*/, i64 *begs /*[tlen+1]*/,
+    i64 *out /*[smin, rx, ry, sbeg]*/) {
+    const long qro = ((qlen + 63) / 64) * 64;
+    for (long j = 0; j < bandwidth; j++) uts[j] = 1;   // row_init u=+1
+    begs[0] = 0;
+    long rx = qlen - 1, ry = tlen - 1;
+    i64 smin = 0x7FFFFFFF, sbeg = 0;
+    long rbeg0 = 0;
+    thread_local std::vector<i8> ushift_v;
+    ushift_v.resize(bandwidth);
+    i8 *u_shift = ushift_v.data();
+    for (long i = 0; i < tlen; i++) {
+        long rbeg1;
+        if (is_overlap || is_extend) {
+            rbeg1 = 0;
+        } else {
+            rbeg1 = (i * qlen) / tlen;
+            rbeg1 = rbeg1 < bandwidth / 2 ? 0 : rbeg1 - bandwidth / 2;
+            if (rbeg1 + bandwidth > qro) rbeg1 = qro - bandwidth;
+        }
+        begs[i + 1] = rbeg1;
+        const long movx = rbeg1 - rbeg0;
+        const i8 *u_old = uts + i * bandwidth;
+        const i8 *usrc;
+        if (is_overlap) {
+            sbeg = 0;
+            usrc = u_old;
+        } else {
+            if (movx) {
+                const long mv = movx < bandwidth ? movx : bandwidth;
+                for (long k = 0; k < mv; k++) sbeg += u_old[k];
+            }
+            sbeg += 1;
+            if (movx == 0) {
+                usrc = u_old;
+            } else if (movx >= bandwidth) {
+                for (long k = 0; k < bandwidth; k++) u_shift[k] = 1;
+                usrc = u_shift;
+            } else {
+                for (long k = 0; k < bandwidth - movx; k++)
+                    u_shift[k] = u_old[movx + k];
+                for (long k = bandwidth - movx; k < bandwidth; k++)
+                    u_shift[k] = 1;
+                usrc = u_shift;
+            }
+        }
+        const long tbase = tseq[i];
+        i8 *u_new = uts + (i + 1) * bandwidth;
+        int v = is_overlap ? 0 : 1;
+        for (long k = 0; k < bandwidth; k++) {
+            const long pos = rbeg1 + k;
+            const int match = pos < qlen && qseq[pos] == tbase;
+            const int up = usrc[k];
+            const int h = (match || up == -1 || v == -1) ? 0 : 1;
+            u_new[k] = (i8)(h - v);
+            v = h - up;
+        }
+        if (is_overlap || is_extend) {
+            i64 srow = sbeg;
+            for (long k = 0; k < bandwidth; k++) srow += u_new[k];
+            for (long k = rbeg1 + bandwidth; k > qlen; k--)
+                srow -= u_new[k - 1 - rbeg1];
+            if (srow < smin) {
+                smin = srow;
+                rx = qlen - 1;
+                ry = i;
+            }
+        }
+        rbeg0 = rbeg1;
+    }
+    if (is_extend && tlen > 0) {
+        const i8 *u_last = uts + tlen * bandwidth;
+        i64 pref = sbeg;
+        i64 best = 0x7FFFFFFFFFFFFFFFLL;
+        long kbest = 0;
+        for (long k = 0; k < bandwidth; k++) {
+            pref += u_last[k];
+            if (pref < best) { best = pref; kbest = k; }
+        }
+        if (best < smin) {
+            smin = best;
+            rx = kbest;
+            ry = tlen - 1;
+        }
+    }
+    out[0] = smin;
+    out[1] = rx;
+    out[2] = ry;
+    out[3] = sbeg;
+    return 0;
+}

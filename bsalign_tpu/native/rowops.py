@@ -390,3 +390,19 @@ def alignment2graph(g, arena, qprof_ptrs, states_map, ndoffs_arr, W,
     (rs.score, rs.qb, rs.qe, rs.tb, rs.te, rs.mat, rs.mis, rs.ins,
      rs.dele, rs.aln) = (int(v) for v in out)
     return rs
+
+
+def edit_forward(qseq, tseq, bandwidth, is_overlap, is_extend):
+    """Native scalar-edit forward; returns (uts, begs, smin, rx, ry, sbeg)."""
+    import numpy as _np
+    qc = _np.ascontiguousarray(qseq, _np.uint8)
+    tc = _np.ascontiguousarray(tseq, _np.uint8)
+    tlen = len(tc)
+    uts = _np.empty((tlen + 1, bandwidth), _np.int8)
+    begs = _np.zeros(tlen + 1, _np.int64)
+    out = _np.zeros(4, _np.int64)
+    rowops_lib().bsa_edit_forward(qc.ctypes.data, len(qc), tc.ctypes.data,
+                                  tlen, bandwidth, int(is_overlap),
+                                  int(is_extend), uts.ctypes.data,
+                                  begs.ctypes.data, out.ctypes.data)
+    return uts, begs, int(out[0]), int(out[1]), int(out[2]), int(out[3])

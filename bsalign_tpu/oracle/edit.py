@@ -117,6 +117,24 @@ def edit_pairwise(qseq: np.ndarray, tseq: np.ndarray, mode: int,
     bandwidth = _select_bandwidth(qlen, tlen, mode, bandwidth)
     is_overlap = mode_type(mode) == MODE_OVERLAP
     is_extend = mode_type(mode) == MODE_EXTEND
+    from ..native import rowops as _NR
+    if _NR.available():
+        uts, begs_a, smin, rx, ry, sbeg = _NR.edit_forward(
+            qseq, tseq, bandwidth, is_overlap, is_extend)
+        begs = [int(b) for b in begs_a]
+        rbeg0 = begs[tlen]
+        rs, cigars = edit_backtrace(uts, begs, qseq, rx, tseq, ry, mode)
+        if is_overlap:
+            rs.score = smin + rs.te - rs.tb
+        elif is_extend:
+            rs.score = smin
+        else:
+            u_last = uts[tlen]
+            score = sbeg + int(np.sum(u_last))
+            for k in range(rbeg0 + bandwidth, qlen, -1):
+                score -= int(u_last[k - 1 - rbeg0])
+            rs.score = score
+        return rs, cigars
     uts = np.empty((tlen + 1, bandwidth), dtype=np.int8)
     uts[0] = 1  # row_init: u=+1 everywhere (bsalign.h:653-656)
     begs = [0] * (tlen + 1)
