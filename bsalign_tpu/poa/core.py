@@ -1142,24 +1142,24 @@ class BSPOA:
             tie = (cnts[:, i] != 0) & (cnts[:, i] == cb) \
                 & ((rank[:, i] < rb) | (bsel == 4))
             bsel = np.where(take | tie, i, bsel)
-        for pos in range(mlen):
-            col = cols[pos]
-            col[nall] = bsel[pos]
-            col[nall + 1] = 0
+        order = np.asarray(self.msaidxs, np.int64)
+        self.msacols[order, nall] = bsel
+        self.msacols[order, nall + 1] = 0
         keep = bsel < 4
         self.cns = bsel[keep].astype(np.uint8)
         self.qlt = np.zeros(len(self.cns), np.uint8)
         self.alt = np.zeros(len(self.cns), np.uint8)
+        from .graph import ND_CPOS
+        CPOS = g._nd[ND_CPOS]
+        cns_run = np.cumsum(bsel < 4)       # cpos BEFORE advancing at pos
+        cpos_at = np.concatenate([[0], cns_run[:-1]])
+        mat = self.msacols[order]
         for rid in range(nseq):
-            cpos = 0
-            vi = g.ndoffs[rid]
-            for pos in range(mlen):
-                col = self.msacols[self.msaidxs[pos]]
-                if col[rid] != 4 and col[rid] != 5:
-                    g.nodes[vi].cpos = cpos
-                    vi += 1
-                if col[nall] < 4:
-                    cpos += 1
+            colr = mat[:, rid]
+            sel = (colr != 4) & (colr != 5)
+            k = int(sel.sum())
+            if k:
+                CPOS[g.ndoffs[rid]: g.ndoffs[rid] + k] = cpos_at[sel]
         g.nodes[g.HEAD].cpos = 0
         g.nodes[g.TAIL].cpos = len(self.cns)
 
@@ -1315,16 +1315,17 @@ class BSPOA:
         self.qlt = np.array(qlt, np.uint8)
         self.alt = np.array(alt, np.uint8)
         if g.nodes:
+            from .graph import ND_CPOS
+            CPOS = g._nd[ND_CPOS]
+            order = np.asarray(self.msaidxs, np.int64)
+            mat = self.msacols[order]
+            cnsrow = mat[:, nall] < 4
+            cpos_at = np.concatenate([[0], np.cumsum(cnsrow)[:-1]])
             for rid in range(min(nall, len(g.ndoffs))):
-                cpos = 0
-                vi = g.ndoffs[rid]
-                for pos in range(mlen):
-                    col = self.msacols[self.msaidxs[pos]]
-                    if col[rid] < 4:
-                        g.nodes[vi].cpos = cpos
-                        vi += 1
-                    if col[nall] < 4:
-                        cpos += 1
+                sel = mat[:, rid] < 4
+                k = int(sel.sum())
+                if k:
+                    CPOS[g.ndoffs[rid]: g.ndoffs[rid] + k] = cpos_at[sel]
             g.nodes[g.HEAD].cpos = 0
             g.nodes[g.TAIL].cpos = len(self.cns)
         return ret
