@@ -108,6 +108,14 @@ def rowops_lib():
              ctypes.c_long, ctypes.c_long, ctypes.c_long, ctypes.c_long,
              ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
         lib.bsa_edit_forward.restype = ctypes.c_long
+        lib.bsa_msanode_cns_merges.argtypes = \
+            [ctypes.c_void_p] * 17 + [ctypes.c_void_p] * 3 + \
+            [ctypes.c_long] * 4 + [ctypes.c_void_p, ctypes.c_long]
+        lib.bsa_msanode_cns_merges.restype = ctypes.c_long
+        lib.bsa_msanode_rail_merges.argtypes = \
+            [ctypes.c_void_p] * 17 + [ctypes.c_void_p] * 3 + \
+            [ctypes.c_long] * 4 + [ctypes.c_void_p]
+        lib.bsa_msanode_rail_merges.restype = ctypes.c_long
         lib.bsa8_getscore.argtypes = [c_i8p, c_i64p, ctypes.c_int,
                                       ctypes.c_int]
         lib.bsa8_getscore.restype = ctypes.c_int64

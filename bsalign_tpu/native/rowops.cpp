@@ -2060,3 +2060,86 @@ extern "C" long bsa_edit_forward(
     out[3] = sbeg;
     return 0;
 }
+
+// ---- add_msanodes column-merge loops (bspoa.h:3068-3154 inner loops) ----
+// Loop A: merge each cns node (rail row `nall`) with the first read whose
+// base matches in its column; loop B: merge every read base into its
+// per-base rail ring.
+static int merge_rings_g(GFull &G, long un, long vn) {
+    long h0 = G.hdr[un], h1 = G.hdr[vn];
+    if (h0 == h1) return 0;
+    const long ncov = (long)G.cov[h0] + G.cov[h1];
+    if (G.cov[h0] < G.cov[h1]) { long t = h0; h0 = h1; h1 = t; }
+    else if (G.cov[h0] > G.cov[h1]) {}
+    else if (G.rid[h0] > G.rid[h1]) { long t = h0; h0 = h1; h1 = t; }
+    if (g_mov(G, h1, h0, -1, 0, MOVALL_C) < 0) return -1;
+    if (g_mov(G, h1, h0, -1, 1, MOVALL_C) < 0) return -1;
+    G.cov[h0] = (i32)ncov;
+    long x = h1;
+    for (;;) {
+        G.hdr[x] = (i32)h0;
+        if (G.nxt[x] == h1) break;
+        x = G.nxt[x];
+    }
+    const long p0 = G.prv[h0], p1 = G.prv[h1];
+    G.prv[h0] = (i32)p1;
+    G.prv[h1] = (i32)p0;
+    G.nxt[p1] = (i32)h0;
+    G.nxt[p0] = (i32)h1;
+    return 0;
+}
+
+extern "C" long bsa_msanode_cns_merges(
+    GFULL_ARGS, i32 *nd_mpos, const uint8_t *msacols, const i64 *msaidxs,
+    long mlen, long mrow, long nall, long nseq, const i64 *ndoffs,
+    long cnsnode0) {
+    GFULL_PACK;
+    thread_local std::vector<long> rps_v;
+    rps_v.assign(nseq, 0);
+    long *rps = rps_v.data();
+    long clen = 0;
+    for (long pos = 0; pos < mlen; pos++) {
+        const uint8_t *col = msacols + msaidxs[pos] * mrow;
+        if (col[nall] < 4) {
+            const long u = cnsnode0 + clen;
+            clen += 1;
+            long rid = 0;
+            for (; rid < nseq; rid++) {
+                if (col[rid] == col[nall]) {
+                    if (merge_rings_g(G, u, ndoffs[rid] + rps[rid]) < 0)
+                        return -1;
+                    nd_mpos[u] = (i32)pos;
+                    break;
+                }
+            }
+            if (rid == nseq) return -2;     // cns base unmatched
+        }
+        for (long rid = 0; rid < nseq; rid++)
+            if (col[rid] < 4) rps[rid] += 1;
+    }
+    return estate[3] ? -1 : clen;
+}
+
+extern "C" long bsa_msanode_rail_merges(
+    GFULL_ARGS, const i32 *nd_base, const uint8_t *msacols,
+    const i64 *msaidxs, long mlen, long mrow, long nall, long nseq,
+    const i64 *ndoffs) {
+    GFULL_PACK;
+    thread_local std::vector<long> rps_v;
+    rps_v.assign(nseq, 0);
+    long *rps = rps_v.data();
+    for (long pos = 0; pos < mlen; pos++) {
+        const uint8_t *col = msacols + msaidxs[pos] * mrow;
+        for (long rid = 0; rid < nseq; rid++) {
+            if (col[rid] < 4) {
+                const long u = ndoffs[rid] + rps[rid];
+                const long v = ndoffs[nall + 1 + nd_base[u]] + pos;
+                if (G.hdr[u] != G.hdr[v]) {
+                    if (merge_rings_g(G, u, v) < 0) return -1;
+                }
+                rps[rid] += 1;
+            }
+        }
+    }
+    return estate[3] ? -1 : 0;
+}

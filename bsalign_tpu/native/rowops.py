@@ -406,3 +406,28 @@ def edit_forward(qseq, tseq, bandwidth, is_overlap, is_extend):
                                   int(is_extend), uts.ctypes.data,
                                   begs.ctypes.data, out.ctypes.data)
     return uts, begs, int(out[0]), int(out[1]), int(out[2]), int(out[3])
+
+
+def msanode_cns_merges(g, msacols, msaidxs_arr, mlen, mrow, nall, nseq,
+                       ndoffs_arr, cnsnode0):
+    from ..poa.graph import ND_MPOS
+    g._encap_edges(16 * mlen + 1024)
+    r = rowops_lib().bsa_msanode_cns_merges(
+        *gfull_args(g), g._nd[ND_MPOS].ctypes.data, msacols.ctypes.data,
+        msaidxs_arr.ctypes.data, mlen, mrow, nall, nseq,
+        ndoffs_arr.ctypes.data, cnsnode0)
+    if r < 0:
+        raise RuntimeError(f"native cns merges failed ({r})")
+    return int(r)
+
+
+def msanode_rail_merges(g, msacols, msaidxs_arr, mlen, mrow, nall, nseq,
+                        ndoffs_arr):
+    from ..poa.graph import ND_BASE
+    g._encap_edges(32 * mlen + 4096)
+    r = rowops_lib().bsa_msanode_rail_merges(
+        *gfull_args(g), g._nd[ND_BASE].ctypes.data, msacols.ctypes.data,
+        msaidxs_arr.ctypes.data, mlen, mrow, nall, nseq,
+        ndoffs_arr.ctypes.data)
+    if r < 0:
+        raise RuntimeError(f"native rail merges failed ({r})")

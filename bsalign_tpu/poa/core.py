@@ -1344,22 +1344,32 @@ class BSPOA:
         u = g.new_node(nall, -1, 4)
         g.merge_nodes(u, g.HEAD)
         g.ndoffs.append(len(g.nodes))
-        for pos in range(mlen):
-            col = self.msacols[self.msaidxs[pos]]
-            if col[nall] < 4:
-                u = g.new_node(nall, clen, int(col[nall]))
-                clen += 1
+        order = np.asarray(self.msaidxs, np.int64)
+        if g._native is not None and mlen:
+            cnsnode0 = len(g.nodes)
+            cns_bases = self.msacols[order, nall]
+            for ci, b in enumerate(cns_bases[cns_bases < 4].tolist()):
+                g.new_node(nall, ci, int(b))
+            clen = NR.msanode_cns_merges(
+                g, self.msacols, order, mlen, self.msacols.shape[1], nall,
+                nseq, np.asarray(g.ndoffs, np.int64), cnsnode0)
+        else:
+            for pos in range(mlen):
+                col = self.msacols[self.msaidxs[pos]]
+                if col[nall] < 4:
+                    u = g.new_node(nall, clen, int(col[nall]))
+                    clen += 1
+                    for rid in range(nseq):
+                        if col[rid] == col[nall]:
+                            v = g.rdnode(rid, rps[rid])
+                            g.merge_nodes(u, v)
+                            g.nodes[u].mpos = pos
+                            break
+                    else:
+                        raise RuntimeError("cns base unmatched")
                 for rid in range(nseq):
-                    if col[rid] == col[nall]:
-                        v = g.rdnode(rid, rps[rid])
-                        g.merge_nodes(u, v)
-                        g.nodes[u].mpos = pos
-                        break
-                else:
-                    raise RuntimeError("cns base unmatched")
-            for rid in range(nseq):
-                if col[rid] < 4:
-                    rps[rid] += 1
+                    if col[rid] < 4:
+                        rps[rid] += 1
         u = g.new_node(nall, clen, 4)
         g.merge_nodes(u, g.TAIL)
         for i in range(clen + 1):
@@ -1377,16 +1387,21 @@ class BSPOA:
             g.merge_nodes(u, g.TAIL)
             self.rdregs0.append(0)
             self.rdregs1.append(mlen)
-        rps = [0] * nseq
-        for pos in range(mlen):
-            col = self.msacols[self.msaidxs[pos]]
-            for rid in range(nseq):
-                if col[rid] < 4:
-                    u = g.rdnode(rid, rps[rid])
-                    v = g.rdnode(nall + 1 + g.nodes[u].base, pos)
-                    if g.nodes[u].header != g.nodes[v].header:
-                        g.merge_nodes(u, v)
-                    rps[rid] += 1
+        if g._native is not None and mlen:
+            NR.msanode_rail_merges(
+                g, self.msacols, order, mlen, self.msacols.shape[1], nall,
+                nseq, np.asarray(g.ndoffs, np.int64))
+        else:
+            rps = [0] * nseq
+            for pos in range(mlen):
+                col = self.msacols[self.msaidxs[pos]]
+                for rid in range(nseq):
+                    if col[rid] < 4:
+                        u = g.rdnode(rid, rps[rid])
+                        v = g.rdnode(nall + 1 + g.nodes[u].base, pos)
+                        if g.nodes[u].header != g.nodes[v].header:
+                            g.merge_nodes(u, v)
+                        rps[rid] += 1
 
     def del_msanodes(self):
         g = self.g
