@@ -1122,6 +1122,31 @@ static long g_mov(GFull &G, long u, long v, long spec, long dirn,
     return 0;
 }
 
+
+static int g_merge_rings(GFull &G, long un, long vn) {
+    long h0 = G.hdr[un], h1 = G.hdr[vn];
+    if (h0 == h1) return 0;
+    const long ncov = (long)G.cov[h0] + G.cov[h1];
+    if (G.cov[h0] < G.cov[h1]) { long t = h0; h0 = h1; h1 = t; }
+    else if (G.cov[h0] > G.cov[h1]) {}
+    else if (G.rid[h0] > G.rid[h1]) { long t = h0; h0 = h1; h1 = t; }
+    if (g_mov(G, h1, h0, -1, 0, MOVALL_C) < 0) return -1;
+    if (g_mov(G, h1, h0, -1, 1, MOVALL_C) < 0) return -1;
+    G.cov[h0] = (i32)ncov;
+    long x = h1;
+    for (;;) {
+        G.hdr[x] = (i32)h0;
+        if (G.nxt[x] == h1) break;
+        x = G.nxt[x];
+    }
+    const long p0 = G.prv[h0], p1 = G.prv[h1];
+    G.prv[h0] = (i32)p1;
+    G.prv[h1] = (i32)p0;
+    G.nxt[p1] = (i32)h0;
+    G.nxt[p0] = (i32)h1;
+    return 0;
+}
+
 #define GFULL_ARGS \
     i32 *nd_rid, i32 *nd_cov, i32 *nd_rdc, i32 *nd_rdd, i32 *nd_nin,      \
     i32 *nd_nou, i32 *nd_edge, i32 *nd_erev, i32 *nd_next, i32 *nd_prev,  \
@@ -1194,27 +1219,8 @@ extern "C" long bsa_g_cut_rdnode(GFULL_ARGS, long nnodes, long nidx,
 
 extern "C" long bsa_g_merge_nodes(GFULL_ARGS, long n1, long n2) {
     GFULL_PACK;
-    long h0 = G.hdr[n1], h1 = G.hdr[n2];
-    if (h0 == h1) return h0;
-    const long nodecov = (long)G.cov[h0] + G.cov[h1];
-    if (G.cov[h0] < G.cov[h1]) { long t = h0; h0 = h1; h1 = t; }
-    else if (G.cov[h0] > G.cov[h1]) {}
-    else if (G.rid[h0] > G.rid[h1]) { long t = h0; h0 = h1; h1 = t; }
-    if (g_mov(G, h1, h0, -1, 0, MOVALL_C) < 0) return -1;
-    if (g_mov(G, h1, h0, -1, 1, MOVALL_C) < 0) return -1;
-    G.cov[h0] = (i32)nodecov;
-    long x = h1;
-    for (;;) {
-        G.hdr[x] = (i32)h0;
-        if (G.nxt[x] == h1) break;
-        x = G.nxt[x];
-    }
-    const long p0 = G.prv[h0], p1 = G.prv[h1];
-    G.prv[h0] = (i32)p1;
-    G.prv[h1] = (i32)p0;
-    G.nxt[p1] = (i32)h0;
-    G.nxt[p0] = (i32)h1;
-    return estate[3] ? -1 : h0;
+    if (g_merge_rings(G, n1, n2) < 0) return -1;
+    return estate[3] ? -1 : G.hdr[n1];
 }
 
 extern "C" long bsa_gf_chg_edge(GFULL_ARGS, long u, long v, long cov) {
@@ -1509,28 +1515,7 @@ extern "C" long bsa_pedit_traceback(
                 roff -= 1;
                 const long un = ndoffs[nseq_plus1 + sread_b] + yi;
                 const long vn = ndoffs[rid] + roff;
-                // merge_nodes body (same as bsa_g_merge_nodes)
-                long h0 = G.hdr[un], h1 = G.hdr[vn];
-                if (h0 != h1) {
-                    const long ncov = (long)G.cov[h0] + G.cov[h1];
-                    if (G.cov[h0] < G.cov[h1]) { long t = h0; h0 = h1; h1 = t; }
-                    else if (G.cov[h0] > G.cov[h1]) {}
-                    else if (G.rid[h0] > G.rid[h1]) { long t = h0; h0 = h1; h1 = t; }
-                    if (g_mov(G, h1, h0, -1, 0, MOVALL_C) < 0) return -2;
-                    if (g_mov(G, h1, h0, -1, 1, MOVALL_C) < 0) return -2;
-                    G.cov[h0] = (i32)ncov;
-                    long x = h1;
-                    for (;;) {
-                        G.hdr[x] = (i32)h0;
-                        if (G.nxt[x] == h1) break;
-                        x = G.nxt[x];
-                    }
-                    const long pp0 = G.prv[h0], pp1 = G.prv[h1];
-                    G.prv[h0] = (i32)pp1;
-                    G.prv[h1] = (i32)pp0;
-                    G.nxt[pp1] = (i32)h0;
-                    G.nxt[pp0] = (i32)h1;
-                }
+                if (g_merge_rings(G, un, vn) < 0) return -2;
             }
             scr += s;
             xi -= 1;
@@ -1775,27 +1760,7 @@ extern "C" long bsa_alignment2graph(
         return aus[slot * W * WSZ + (xi % W) * WSZ + xi / W];
     };
     auto merge_rings = [&](long un, long vn) -> int {
-        long h0 = G.hdr[un], h1 = G.hdr[vn];
-        if (h0 == h1) return 0;
-        const long ncov = (long)G.cov[h0] + G.cov[h1];
-        if (G.cov[h0] < G.cov[h1]) { long t = h0; h0 = h1; h1 = t; }
-        else if (G.cov[h0] > G.cov[h1]) {}
-        else if (G.rid[h0] > G.rid[h1]) { long t = h0; h0 = h1; h1 = t; }
-        if (g_mov(G, h1, h0, -1, 0, MOVALL_C) < 0) return -1;
-        if (g_mov(G, h1, h0, -1, 1, MOVALL_C) < 0) return -1;
-        G.cov[h0] = (i32)ncov;
-        long xw = h1;
-        for (;;) {
-            G.hdr[xw] = (i32)h0;
-            if (G.nxt[xw] == h1) break;
-            xw = G.nxt[xw];
-        }
-        const long p0 = G.prv[h0], p1 = G.prv[h1];
-        G.prv[h0] = (i32)p1;
-        G.prv[h1] = (i32)p0;
-        G.nxt[p1] = (i32)h0;
-        G.nxt[p0] = (i32)h1;
-        return 0;
+        return g_merge_rings(G, un, vn);
     };
     for (;;) {
         const long n_i = cur_n;
@@ -2066,27 +2031,7 @@ extern "C" long bsa_edit_forward(
 // base matches in its column; loop B: merge every read base into its
 // per-base rail ring.
 static int merge_rings_g(GFull &G, long un, long vn) {
-    long h0 = G.hdr[un], h1 = G.hdr[vn];
-    if (h0 == h1) return 0;
-    const long ncov = (long)G.cov[h0] + G.cov[h1];
-    if (G.cov[h0] < G.cov[h1]) { long t = h0; h0 = h1; h1 = t; }
-    else if (G.cov[h0] > G.cov[h1]) {}
-    else if (G.rid[h0] > G.rid[h1]) { long t = h0; h0 = h1; h1 = t; }
-    if (g_mov(G, h1, h0, -1, 0, MOVALL_C) < 0) return -1;
-    if (g_mov(G, h1, h0, -1, 1, MOVALL_C) < 0) return -1;
-    G.cov[h0] = (i32)ncov;
-    long x = h1;
-    for (;;) {
-        G.hdr[x] = (i32)h0;
-        if (G.nxt[x] == h1) break;
-        x = G.nxt[x];
-    }
-    const long p0 = G.prv[h0], p1 = G.prv[h1];
-    G.prv[h0] = (i32)p1;
-    G.prv[h1] = (i32)p0;
-    G.nxt[p1] = (i32)h0;
-    G.nxt[p0] = (i32)h1;
-    return 0;
+    return g_merge_rings(G, un, vn);
 }
 
 extern "C" long bsa_msanode_cns_merges(
