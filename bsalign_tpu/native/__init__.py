@@ -116,6 +116,12 @@ def rowops_lib():
             [ctypes.c_void_p] * 17 + [ctypes.c_void_p] * 3 + \
             [ctypes.c_long] * 4 + [ctypes.c_void_p]
         lib.bsa_msanode_rail_merges.restype = ctypes.c_long
+        lib.bsa_sel_nodes.argtypes = \
+            [ctypes.c_void_p] * 17 + [ctypes.c_void_p] * 5 + \
+            [ctypes.c_long] * 6 + \
+            [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long,
+             ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p]
+        lib.bsa_sel_nodes.restype = ctypes.c_long
         lib.bsa8_getscore.argtypes = [c_i8p, c_i64p, ctypes.c_int,
                                       ctypes.c_int]
         lib.bsa8_getscore.restype = ctypes.c_int64

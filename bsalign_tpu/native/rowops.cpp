@@ -2088,3 +2088,98 @@ extern "C" long bsa_msanode_rail_merges(
     }
     return estate[3] ? -1 : 0;
 }
+
+// ---- node-subset selection (sel_nodes_bspoa, bspoa.h:1887-2020) ----
+extern "C" long bsa_sel_nodes(
+    GFULL_ARGS, i32 *nd_vst, i32 *nd_nct, i32 *nd_bonus,
+    const i32 *nd_bless, const i64 *ndoffs, long nnodes,
+    long nhead, long ntail, long ridxbeg, long ridxend, long nseq,
+    uint8_t *states, i32 *sels, long sels_cap,
+    i64 *todels /*pairs*/, long todels_cap, i64 *out /*[nsel, ntodel]*/) {
+    GFULL_PACK;
+    nhead = G.hdr[nhead];
+    ntail = G.hdr[ntail];
+    out[0] = out[1] = 0;
+    if (nhead == ntail) return 0;
+    thread_local std::vector<long> rb_v, re_v;
+    rb_v.assign(nseq, 0x7FFFFFFF);
+    re_v.assign(nseq, -1);
+    for (int which = 0; which < 2; which++) {
+        const long start = which == 0 ? nhead : ntail;
+        long x = start;
+        for (;;) {
+            const long rid = G.rid[x];
+            if (rid >= ridxbeg && rid < ridxend && rid < nseq) {
+                const long pos = x - ndoffs[rid];
+                if (which == 0) rb_v[rid] = pos;
+                else re_v[rid] = pos;
+            }
+            x = G.nxt[x];
+            if (x == start) break;
+        }
+    }
+    long nsel = 0;
+    for (long i = 0; i < nseq; i++) {
+        const long rb = rb_v[i], re = re_v[i];
+        if (rb >= re) continue;
+        const long base = ndoffs[i];
+        for (long j = rb; j <= re; j++) {
+            const long h = G.hdr[base + j];
+            if (states[h]) continue;
+            if (nsel >= sels_cap) return -3;
+            sels[nsel++] = (i32)h;
+            states[h] = 1;
+            nd_nct[h] = 0;
+            nd_vst[h] = 0;
+        }
+    }
+    long ntd = 0;
+    for (long k = 0; k < nsel; k++) {
+        const long nidx = sels[k];
+        if (nidx == nhead) continue;
+        int j = 0;
+        long eidx = G.edge[nidx];
+        while (eidx) {
+            if (states[G.E.ed_node[eidx]]) { j |= 1; break; }
+            eidx = G.E.ed_next[eidx];
+        }
+        eidx = G.erev[nidx];
+        while (eidx) {
+            if (states[G.E.ed_node[eidx]]) { j |= 2; break; }
+            eidx = G.E.ed_next[eidx];
+        }
+        if (j == 3) {
+        } else if (j == 1 || nidx == ntail) {
+            if (g_chg_edge(G.E, nhead, nidx, 1) < 0) return -1;
+            if (ntd + 2 > todels_cap) return -4;
+            todels[ntd++] = nhead;
+            todels[ntd++] = nidx;
+        } else if (j == 2) {
+            if (g_chg_edge(G.E, nidx, ntail, 1) < 0) return -1;
+            if (ntd + 2 > todels_cap) return -4;
+            todels[ntd++] = nidx;
+            todels[ntd++] = ntail;
+        }
+    }
+    for (long k = 0; k < nsel; k++) {
+        const long nidx = sels[k];
+        long bonus = 0;
+        long x = nidx;
+        for (;;) {
+            bonus |= nd_bless[x];
+            if (bonus) break;
+            x = G.nxt[x];
+            if (x == nidx) break;
+        }
+        nd_bonus[nidx] = (i32)bonus;
+        long eidx = G.edge[nidx];
+        while (eidx) {
+            const long en = G.E.ed_node[eidx];
+            if (states[en]) nd_nct[en] += 1;
+            eidx = G.E.ed_next[eidx];
+        }
+    }
+    out[0] = nsel;
+    out[1] = ntd;
+    return estate[3] ? -1 : nsel;
+}

@@ -431,3 +431,29 @@ def msanode_rail_merges(g, msacols, msaidxs_arr, mlen, mrow, nall, nseq,
         ndoffs_arr.ctypes.data)
     if r < 0:
         raise RuntimeError(f"native rail merges failed ({r})")
+
+
+def sel_nodes(g, nhead, ntail, ridxbeg, ridxend, nseq, ndoffs_arr):
+    """Native node-subset selection; returns (sels_list, states_map,
+    todels_pairs)."""
+    import numpy as _np
+    from ..poa.graph import ND_BLESS, ND_BONUS, ND_NCT, ND_VST
+    nd = g._nd
+    n = len(g.nodes)
+    g._encap_edges(4 * n + 1024)
+    states = _np.zeros(n, _np.uint8)
+    sels = _np.zeros(n + 8, _np.int32)
+    todels = _np.zeros(2 * n + 8, _np.int64)
+    out = _np.zeros(2, _np.int64)
+    r = rowops_lib().bsa_sel_nodes(
+        *gfull_args(g), nd[ND_VST].ctypes.data, nd[ND_NCT].ctypes.data,
+        nd[ND_BONUS].ctypes.data, nd[ND_BLESS].ctypes.data,
+        ndoffs_arr.ctypes.data, n, nhead, ntail, ridxbeg, ridxend, nseq,
+        states.ctypes.data, sels.ctypes.data, len(sels),
+        todels.ctypes.data, len(todels), out.ctypes.data)
+    if r < 0:
+        raise RuntimeError(f"native sel_nodes failed ({r})")
+    nsel, ntd = int(out[0]), int(out[1])
+    td = todels[:ntd]
+    pairs = [(int(td[i]), int(td[i + 1])) for i in range(0, ntd, 2)]
+    return [int(x) for x in sels[:nsel]], states, pairs

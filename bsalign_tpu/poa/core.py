@@ -245,8 +245,8 @@ class BSPOA:
         length = len(seq)
         g.new_node(rid, -1, 4)
         g.ndoffs.append(len(g.nodes))
-        for i in range(length):
-            g.new_node(rid, i, int(seq[i]))
+        if length:
+            g.new_nodes_bulk(rid, 0, np.asarray(seq, np.int32))
         g.new_node(rid, length, 4)
         if rid == 0:
             self.backbone = length
@@ -342,9 +342,19 @@ class BSPOA:
     # ------------------------------------------------------------ alignment
     def sel_nodes(self, nhead: int, ntail: int, ridxbeg: int, ridxend: int):
         g = self.g
+        if g._native is not None:
+            sels, smap, pairs = NR.sel_nodes(
+                g, nhead, ntail, ridxbeg, ridxend, self.nmsa,
+                np.asarray(g.ndoffs, np.int64))
+            self.sels = sels
+            self.states_map = smap
+            self.states = None           # native paths use the bitmap
+            self.todels.extend(pairs)
+            return len(sels)
         nhead = g.nodes[nhead].header
         ntail = g.nodes[ntail].header
         nseq = self.nmsa
+        self.states_map = None
         rb_arr = [0x7FFFFFFF] * nseq
         re_arr = [-1] * nseq
         self.sels = []
@@ -592,10 +602,12 @@ class BSPOA:
         W = self.bandwidth // WS
         if self.arena is not None:
             sels_arr = np.asarray(self.sels, np.int32)
-            smap = np.zeros(len(g.nodes), np.uint8)
-            if self.states:
-                smap[np.fromiter(self.states, np.int64,
-                                 len(self.states))] = 1
+            smap = getattr(self, "states_map", None)
+            if smap is None or len(smap) < len(g.nodes):
+                smap = np.zeros(len(g.nodes), np.uint8)
+                if self.states:
+                    smap[np.fromiter(self.states, np.int64,
+                                     len(self.states))] = 1
             best = np.array([self.maxscr, self.maxidx, self.maxoff],
                             np.int64)
             NR.align_rd_core(
@@ -680,10 +692,12 @@ class BSPOA:
         g = self.g
         W = self.bandwidth // WS
         if self.arena is not None:
-            smap = np.zeros(len(g.nodes), np.uint8)
-            if self.states:
-                smap[np.fromiter(self.states, np.int64,
-                                 len(self.states))] = 1
+            smap = getattr(self, "states_map", None)
+            if smap is None or len(smap) < len(g.nodes):
+                smap = np.zeros(len(g.nodes), np.uint8)
+                if self.states:
+                    smap[np.fromiter(self.states, np.int64,
+                                     len(self.states))] = 1
             rs = AlnResult()
             NR.alignment2graph(
                 g, self.arena, self._qpp, smap,
@@ -1348,8 +1362,9 @@ class BSPOA:
         if g._native is not None and mlen:
             cnsnode0 = len(g.nodes)
             cns_bases = self.msacols[order, nall]
-            for ci, b in enumerate(cns_bases[cns_bases < 4].tolist()):
-                g.new_node(nall, ci, int(b))
+            kept = cns_bases[cns_bases < 4].astype(np.int32)
+            if len(kept):
+                g.new_nodes_bulk(nall, 0, kept)
             clen = NR.msanode_cns_merges(
                 g, self.msacols, order, mlen, self.msacols.shape[1], nall,
                 nseq, np.asarray(g.ndoffs, np.int64), cnsnode0)
@@ -1376,13 +1391,14 @@ class BSPOA:
             g.connect_rdnode(nall, i)
         self.rdregs0.append(0)
         self.rdregs1.append(clen)
+        from .graph import ND_MPOS
         for i in range(4):
             u = g.new_node(nall + 1 + i, -1, i)
             g.merge_nodes(u, g.HEAD)
             g.ndoffs.append(len(g.nodes))
-            for pos in range(mlen):
-                u = g.new_node(nall + 1 + i, pos, i)
-                g.nodes[u].mpos = pos
+            i0 = g.new_nodes_bulk(nall + 1 + i, 0,
+                                  np.full(mlen, i, np.int32))
+            g._nd[ND_MPOS][i0:i0 + mlen] = np.arange(mlen, dtype=np.int32)
             u = g.new_node(nall + 1 + i, mlen, i)
             g.merge_nodes(u, g.TAIL)
             self.rdregs0.append(0)

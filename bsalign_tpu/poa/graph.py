@@ -25,7 +25,7 @@ _EDGE_GROW = 4096
 
 
 class Node:
-    __slots__ = ("g", "idx", "ref", "aux", "colorful", "bless", "pos")
+    __slots__ = ("g", "idx", "ref", "aux", "colorful", "pos")
 
     def __init__(self, g: "Graph", idx: int, rid: int, pos: int, base: int):
         self.g = g
@@ -33,13 +33,12 @@ class Node:
         self.ref = 0
         self.aux = 0
         self.colorful = 0
-        self.bless = 0
         self.pos = pos
         a = g._nd
         i = idx
         for f in (ND_RDC, ND_RDD, ND_NIN, ND_NOU, ND_EDGE, ND_EREV,
                   ND_INUSE, ND_BONUS, ND_VST, ND_NCT, ND_MPOS, ND_RPOS,
-                  ND_MMIDX, ND_CPOS):
+                  ND_MMIDX, ND_CPOS, ND_BLESS):
             a[f][i] = 0
         a[ND_RID][i] = rid
         a[ND_COV][i] = 1
@@ -51,10 +50,10 @@ class Node:
 
 (ND_RID, ND_COV, ND_RDC, ND_RDD, ND_NIN, ND_NOU, ND_EDGE, ND_EREV,
  ND_NEXT, ND_PREV, ND_HEADER, ND_BASE, ND_MPOS, ND_VST, ND_NCT, ND_INUSE,
- ND_BONUS, ND_RPOS, ND_MMIDX, ND_CPOS) = range(20)
+ ND_BONUS, ND_RPOS, ND_MMIDX, ND_CPOS, ND_BLESS) = range(21)
 _ND_FIELDS = ("rid", "cov", "rdc", "rdd", "nin", "nou", "edge", "erev",
               "next", "prev", "header", "base", "mpos", "vst", "nct",
-              "inuse", "bonus", "rpos", "mmidx", "cpos")
+              "inuse", "bonus", "rpos", "mmidx", "cpos", "bless")
 
 (ED_NODE, ED_COV, ED_VST, ED_NEXT) = range(4)
 
@@ -124,7 +123,7 @@ class Graph:
 
     def __init__(self):
         self.nodes: List[Node] = []
-        self._nd = [np.zeros(_NODE_GROW, np.int32) for _ in range(20)]
+        self._nd = [np.zeros(_NODE_GROW, np.int32) for _ in range(21)]
         self._ed = [np.zeros(_EDGE_GROW, np.int32) for _ in range(4)]
         # estate: [0]=edge count (idx 0/1 reserved), [1]=recycle-stack size,
         # [2]=edge capacity, [3]=error flag — shared with librowops
@@ -171,6 +170,45 @@ class Graph:
         self.nodes.append(None)
         self.nodes[idx] = Node(self, idx, rid, pos, base)
         return idx
+
+    def new_nodes_bulk(self, rid: int, pos0: int, bases) -> int:
+        """Append len(bases) nodes with consecutive positions; returns the
+        first index. Array fields set vectorized; objects stay light."""
+        n = len(bases)
+        i0 = len(self.nodes)
+        while i0 + n >= len(self._nd[0]):
+            self._encap_nodes_to(i0 + n + 1)
+        nd = self._nd
+        sl = slice(i0, i0 + n)
+        for f in (ND_RDC, ND_RDD, ND_NIN, ND_NOU, ND_EDGE, ND_EREV,
+                  ND_INUSE, ND_BONUS, ND_VST, ND_NCT, ND_MPOS, ND_RPOS,
+                  ND_MMIDX, ND_CPOS, ND_BLESS):
+            nd[f][sl] = 0
+        nd[ND_RID][sl] = rid
+        nd[ND_COV][sl] = 1
+        idxs = np.arange(i0, i0 + n, dtype=np.int32)
+        nd[ND_NEXT][sl] = idxs
+        nd[ND_PREV][sl] = idxs
+        nd[ND_HEADER][sl] = idxs
+        nd[ND_BASE][sl] = bases
+        mk = Node.__new__
+        nodes = self.nodes
+        for k in range(n):
+            v = mk(Node)
+            v.g = self
+            v.idx = i0 + k
+            v.ref = 0
+            v.aux = 0
+            v.colorful = 0
+            v.pos = pos0 + k
+            nodes.append(v)
+        return i0
+
+    def _encap_nodes_to(self, n: int) -> None:
+        if n >= len(self._nd[0]):
+            cap = max(n + 1, len(self._nd[0]) * 2)
+            self._nd = [np.resize(a, cap) for a in self._nd]
+            self._gargs = None
 
     def rdnode(self, rid: int, pos: int) -> int:
         return self.ndoffs[rid] + pos
