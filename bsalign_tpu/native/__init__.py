@@ -138,6 +138,14 @@ def rowops_lib():
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ]
         lib.bsa_cns_forward.restype = None
+        lib.bsa_cns_tail.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_long, ctypes.c_void_p, ctypes.c_long, ctypes.c_long,
+            ctypes.c_long, ctypes.c_double, ctypes.c_long,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p,
+        ]
+        lib.bsa_cns_tail.restype = ctypes.c_long
         lib.bsa_edit_row.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
                                      ctypes.c_int, ctypes.c_int,
                                      ctypes.c_void_p]
@@ -165,6 +173,7 @@ def rowops_lib():
                         ("bsa_gf_chg_edge", 3),
                         ("bsa_gf_mov_node_edges", 5),
                         ("bsa_g_cut_range", 5),
+                        ("bsa_g_cut_range_asc", 5),
                         ("bsa_g_connect_range", 3)):
             fn = getattr(lib, nm)
             fn.argtypes = gf_args + [ctypes.c_long] * nex

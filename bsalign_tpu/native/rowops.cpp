@@ -1708,6 +1708,20 @@ extern "C" long bsa_g_cut_range(GFULL_ARGS, long nnodes, long base_idx,
     return 0;
 }
 
+extern "C" long bsa_g_cut_range_asc(GFULL_ARGS, long nnodes, long base_idx,
+                                    long lo, long hi, long cut) {
+    // cut positions lo .. hi-1 (ascending, like del_msanodes, bspoa.h:2708)
+    for (long pos = lo; pos < hi; pos++) {
+        const long nidx = base_idx + pos;
+        const long r = bsa_g_cut_rdnode(
+            nd_rid, nd_cov, nd_rdc, nd_rdd, nd_nin, nd_nou, nd_edge,
+            nd_erev, nd_next, nd_prev, nd_header, ed_node, ed_cov, ed_vst,
+            ed_next, estate, ecyc, nnodes, nidx, cut);
+        if (r < 0) return -1;
+    }
+    return 0;
+}
+
 extern "C" long bsa_g_connect_range(GFULL_ARGS, long base_idx, long lo,
                                     long hi) {
     GFULL_PACK;
@@ -2182,4 +2196,112 @@ extern "C" long bsa_sel_nodes(
     out[0] = nsel;
     out[1] = ntd;
     return estate[3] ? -1 : nsel;
+}
+
+// ---- consensus QLT/ALT tail (cns_bspoa tail, bspoa.h:3594-3692) ----
+// Viterbi backtrace of the 5-state HMM plus per-column base quality (QLT,
+// log-sum-exp marginal) and alternative-allele quality (ALT, binomial /
+// normal-approx tail). Bit-identical to the Python tail: the permutation
+// log-cache is built incrementally exactly like cal_permutation_bspoa
+// (bspoa.h:3394-3402) so float association matches.
+static double _bsa_logc[1001];
+static long _bsa_logc_n = 1;
+
+static inline double bsa_cal_permutation(long n, long m) {
+    if (n > 1000) return 1.0;
+    _bsa_logc[0] = 0.0;
+    while (_bsa_logc_n <= n) {
+        _bsa_logc[_bsa_logc_n] =
+            _bsa_logc[_bsa_logc_n - 1] + log((double)_bsa_logc_n);
+        _bsa_logc_n++;
+    }
+    return _bsa_logc[n] - _bsa_logc[m] - _bsa_logc[n - m];
+}
+
+static inline double bsa_cal_binomial(long n, long m, double p) {
+    return log(p) * m + log(1.0 - p) * (n - m) + bsa_cal_permutation(n, m);
+}
+
+static inline double bsa_normal_cdf(double value) {
+    return erfc(-value / 1.4142135623731) / 2;
+}
+
+static inline double bsa_clog(double x) {
+    if (x > 0) return log(x);
+    return x == 0 ? -HUGE_VAL : NAN;
+}
+
+extern "C" long bsa_cns_tail(const double *sc, const uint8_t *btm,
+                             uint8_t *msacols, long mrow,
+                             const long *msaidxs, long mlen, long nall,
+                             long nmax, double psub, long qlt_max,
+                             uint8_t *cns_out, uint8_t *qlt_out,
+                             uint8_t *alt_out, double *ret_out) {
+    const long P1 = mlen + 1;
+    const double LOG10 = log(10.0);
+#define SC5(a, pos) sc[((long)(a) * P1 + (pos)) * 6 + 5]
+    long c = 4;
+    for (long a = 0; a < 4; a++)
+        if (SC5(a, mlen) > SC5(c, mlen)) c = a;
+    *ret_out = SC5(c, mlen);
+    long pos = mlen - 1;
+    for (;;) {
+        msacols[msaidxs[pos] * mrow + nall] = (uint8_t)c;
+        c = btm[c * P1 + pos + 1];
+        if (pos == 0) break;
+        pos--;
+    }
+    long ncns = 0;
+    for (pos = 0; pos < mlen; pos++) {
+        uint8_t *qs = msacols + msaidxs[pos] * mrow;
+        const long cb = qs[nall];
+        double erre = -1000000000.0;
+        for (long a = 0; a < 5; a++) erre = sum_log2(erre, SC5(a, pos + 1));
+        const double errd = SC5(cb, pos + 1);
+        erre = bsa_clog(1.0 - exp(errd - erre));
+        erre = -(10.0 * erre / LOG10);
+        {
+            double m = (qlt_max < erre) ? (double)qlt_max : erre;
+            qs[nall + 1] = (uint8_t)(long)m;
+        }
+        long cnts[6] = {0, 0, 0, 0, 0, 0};
+        for (long rid = 0; rid < nmax; rid++) {
+            const long b = qs[rid];
+            if (b > 4) continue;
+            cnts[5]++;
+            cnts[b]++;
+        }
+        long a = (cb + 1) % 5;
+        for (long e = 0; e < 5; e++) {
+            if (e == cb) continue;
+            if (cnts[e] > cnts[a]) a = e;
+        }
+        const double p = psub;
+        double erre2 = 0.0;
+        if (cnts[5] > 50 && cnts[5] * p > 5 && cnts[5] * (1.0 - p) > 5) {
+            erre2 = bsa_normal_cdf((cnts[a] - cnts[5] * p) /
+                                   sqrt(cnts[5] * p * (1.0 - p)));
+        } else {
+            for (long e = 0; e < cnts[a]; e++)
+                erre2 += exp(bsa_cal_binomial(cnts[5], e, p));
+        }
+        double errd2;
+        if (erre2 == 0) {
+            errd2 = 0.0;
+        } else {
+            errd2 = -(10.0 * bsa_clog(1.0 - erre2) / LOG10);
+        }
+        {
+            double m = (qlt_max < errd2) ? (double)qlt_max : errd2;
+            qs[nall + 2] = (uint8_t)(long)m;
+        }
+        if (qs[nall] < 4) {
+            cns_out[ncns] = qs[nall];
+            qlt_out[ncns] = qs[nall + 1];
+            alt_out[ncns] = qs[nall + 2];
+            ncns++;
+        }
+    }
+#undef SC5
+    return ncns;
 }

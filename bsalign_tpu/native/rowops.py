@@ -356,6 +356,32 @@ def g_cut_range(g, rid, lo, hi, cut):
         raise RuntimeError("native cut_range failed")
 
 
+def g_cut_range_asc(g, rid, lo, hi, cut):
+    """cut_rdnode over positions lo..hi-1 (ascending; del_msanodes order)."""
+    g._encap_edges(8 * (hi - lo) + 64)
+    r = rowops_lib().bsa_g_cut_range_asc(*gfull_args(g), len(g.nodes),
+                                         g.ndoffs[rid], lo, hi, cut)
+    if r < 0:
+        raise RuntimeError("native cut_range_asc failed")
+
+
+def cns_tail(sc, btm, msacols, msaidxs, mlen, nall, nmax, psub, qlt_max):
+    """Native consensus backtrace + QLT/ALT tail. Mutates msacols rows
+    (cns/qlt/alt columns); returns (cns, qlt, alt, ret)."""
+    import numpy as _np
+    lib = rowops_lib()
+    cns = _np.zeros(mlen, _np.uint8)
+    qlt = _np.zeros(mlen, _np.uint8)
+    alt = _np.zeros(mlen, _np.uint8)
+    ret = _np.zeros(1, _np.float64)
+    n = lib.bsa_cns_tail(sc.ctypes.data, btm.ctypes.data,
+                         msacols.ctypes.data, msacols.shape[1],
+                         msaidxs.ctypes.data, mlen, nall, nmax,
+                         float(psub), qlt_max, cns.ctypes.data,
+                         qlt.ctypes.data, alt.ctypes.data, ret.ctypes.data)
+    return cns[:n].copy(), qlt[:n].copy(), alt[:n].copy(), float(ret[0])
+
+
 def g_connect_range(g, rid, lo, hi):
     g._encap_edges(4 * (hi - lo + 1) + 64)
     r = rowops_lib().bsa_g_connect_range(*gfull_args(g), g.ndoffs[rid], lo,
@@ -456,4 +482,4 @@ def sel_nodes(g, nhead, ntail, ridxbeg, ridxend, nseq, ndoffs_arr):
     nsel, ntd = int(out[0]), int(out[1])
     td = todels[:ntd]
     pairs = [(int(td[i]), int(td[i + 1])) for i in range(0, ntd, 2)]
-    return [int(x) for x in sels[:nsel]], states, pairs
+    return sels[:nsel], states, pairs

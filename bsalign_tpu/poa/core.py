@@ -346,7 +346,7 @@ class BSPOA:
             sels, smap, pairs = NR.sel_nodes(
                 g, nhead, ntail, ridxbeg, ridxend, self.nmsa,
                 np.asarray(g.ndoffs, np.int64))
-            self.sels = sels
+            self.sels = sels             # int32 ndarray on the native path
             self.states_map = smap
             self.states = None           # native paths use the bitmap
             self.todels.extend(pairs)
@@ -439,6 +439,14 @@ class BSPOA:
                 eidx = int(ed_next[eidx])
         return len(self.sels)
 
+    def _in_states(self, nidx: int) -> bool:
+        """Selected-subgraph membership: set on the python path, per-node
+        byte map on the native path (sel_nodes sets states to None)."""
+        if self.states is not None:
+            return nidx in self.states
+        smap = self.states_map
+        return nidx < len(smap) and bool(smap[nidx])
+
     def prepare_rd_align(self, par: BSPOAPar, nhead: int, ntail: int,
                          rid: int, rbeg: int, rend: int):
         g = self.g
@@ -479,54 +487,60 @@ class BSPOA:
                 self.bandwidth = roundup(seqlen, WS)
         else:
             self.bandwidth = roundup(seqlen, WS)
+        from .graph import ND_CPOS, ND_MMIDX, ND_NCT, ND_RPOS
+        nd = g._nd
+        sarr = np.asarray(self.sels, np.int64)
         if cgs:
             rmap = np.zeros(reflen + 1, np.int64)
-            for i in range(1, y):
-                rmap[i] = i * self.qb // (y + 1)
+            if y > 1:
+                ii = np.arange(1, y, dtype=np.int64)
+                rmap[1:y] = ii * self.qb // (y + 1)
             for cgv in cgs:
                 op = cgv & 0xF
                 sz = cgv >> 4
                 if op in (0, 7, 8):
-                    for _ in range(sz):
-                        rmap[y] = x
-                        y += 1
-                        x += 1
+                    rmap[y:y + sz] = x + np.arange(sz, dtype=np.int64)
+                    y += sz
+                    x += sz
                 elif op in (1, 4):
                     x += sz
                 elif op in (2, 3, 5):
-                    for _ in range(sz):
-                        rmap[y] = x
-                        y += 1
-            for i in range(y, reflen):
-                rmap[i] = x + (i - y + 1) * (self.slen - x) // (reflen - y + 1)
+                    rmap[y:y + sz] = x
+                    y += sz
+            if reflen > y:
+                jj = np.arange(y, reflen, dtype=np.int64)
+                rmap[y:reflen] = x + (jj - y + 1) * (self.slen - x) \
+                    // (reflen - y + 1)
             rmap[reflen] = self.slen
-            for nidx in self.sels:
-                u = g.nodes[nidx]
-                rpos = int(rmap[u.cpos]) - self.bandwidth // 2
-                if rpos < 0:
-                    rpos = 0
-                elif self.bandwidth >= self.slen:
-                    rpos = 0
-                elif rpos + self.bandwidth > self.slen:
-                    rpos = self.slen - self.bandwidth
-                u.rpos = rpos
-                if u.cpos == tb and tb:
+            cpos_arr = nd[ND_CPOS][sarr].astype(np.int64)
+            if self.bandwidth >= self.slen:
+                nd[ND_RPOS][sarr] = 0
+            else:
+                nd[ND_RPOS][sarr] = np.clip(
+                    rmap[cpos_arr] - self.bandwidth // 2, 0,
+                    self.slen - self.bandwidth)
+            # bridge the first selected node at the kmer-chained band ends
+            # to HEAD/TAIL (bspoa.h:1910-1940): only the first match counts
+            if tb:
+                hit = np.flatnonzero(cpos_arr == tb)
+                if len(hit):
+                    nidx = int(sarr[hit[0]])
                     _, exists = g.chg_edge(nhead, nidx, 1)
                     self.todels.append((nhead, nidx))
-                    tb = 0
-                    if exists == 0 and nhead in self.states \
-                            and nidx in self.states:
-                        u.nct += 1
-                if u.cpos == te and te != reflen:
+                    if exists == 0 and self._in_states(nhead) \
+                            and self._in_states(nidx):
+                        nd[ND_NCT][nidx] += 1
+            if te != reflen:
+                hit = np.flatnonzero(cpos_arr == te)
+                if len(hit):
+                    nidx = int(sarr[hit[0]])
                     _, exists = g.chg_edge(nidx, ntail, 1)
-                    self.todels.append((g.nodes[nidx].header, ntail))
-                    te = reflen
-                    if exists == 0 and ntail in self.states \
-                            and nidx in self.states:
-                        g.nodes[ntail].nct += 1
+                    self.todels.append((int(g.nodes[nidx].header), ntail))
+                    if exists == 0 and self._in_states(ntail) \
+                            and self._in_states(nidx):
+                        nd[ND_NCT][ntail] += 1
         else:
-            for nidx in self.sels:
-                g.nodes[nidx].rpos = 0
+            nd[ND_RPOS][sarr] = 0
         qsub = self.qseq[self.qb:self.qe]
         mtx0 = B8.set_score_matrix(par.M, par.X)
         mtx1 = B8.set_score_matrix(par.M + par.refbonus, par.X)
@@ -539,10 +553,8 @@ class BSPOA:
         self.piecewise = B8.get_piecewise(par.O, par.E, par.Q, par.P,
                                           self.bandwidth)
         self.rows = {}
-        mmcnt = 2
-        for nidx in self.sels:
-            g.nodes[nidx].mmidx = mmcnt
-            mmcnt += 1
+        mmcnt = 2 + len(sarr)
+        nd[ND_MMIDX][sarr] = np.arange(2, mmcnt, dtype=np.int32)
         W = self.bandwidth // WS
         init = B8.row_init(par.alnmode, self.bandwidth,
                            par.M + par.refbonus + 1, par.X, par.O, par.E,
@@ -603,7 +615,10 @@ class BSPOA:
         if self.arena is not None:
             sels_arr = np.asarray(self.sels, np.int32)
             smap = getattr(self, "states_map", None)
-            if smap is None or len(smap) < len(g.nodes):
+            if smap is not None and len(smap) < len(g.nodes):
+                smap = np.concatenate(
+                    [smap, np.zeros(len(g.nodes) - len(smap), np.uint8)])
+            elif smap is None:
                 smap = np.zeros(len(g.nodes), np.uint8)
                 if self.states:
                     smap[np.fromiter(self.states, np.int64,
@@ -620,11 +635,8 @@ class BSPOA:
             self.maxscr = int(best[0])
             self.maxidx = int(best[1])
             self.maxoff = int(best[2])
-            # expose arena views for alignment2graph readers
-            for nidx in self.sels:
-                mm = g.nodes[nidx].mmidx
-                if mm not in self.rows:
-                    self.rows[mm] = self.arena.view(mm)
+            # alignment2graph's native path reads the arena directly, so
+            # no python-side row views are materialised here
             return self.maxscr
         for nidx in self.sels:
             g.nodes[nidx].mpos = 0x7FFFFFFF - 1
@@ -693,7 +705,10 @@ class BSPOA:
         W = self.bandwidth // WS
         if self.arena is not None:
             smap = getattr(self, "states_map", None)
-            if smap is None or len(smap) < len(g.nodes):
+            if smap is not None and len(smap) < len(g.nodes):
+                smap = np.concatenate(
+                    [smap, np.zeros(len(g.nodes) - len(smap), np.uint8)])
+            elif smap is None:
                 smap = np.zeros(len(g.nodes), np.uint8)
                 if self.states:
                     smap[np.fromiter(self.states, np.int64,
@@ -1264,10 +1279,15 @@ class BSPOA:
             dpv = np.ascontiguousarray(np.asarray(dpvals, np.float64))
             sc, btm, lbm = NR.cns_forward(colmat, nseq, dpt, dpv,
                                           min_freq_calq)
-        else:
-            sc, btm, lbm = self._cns_forward_py(
-                sc, btm, lbm, bs, cols, mlen, nseq, dptable, dpvals,
-                min_freq_calq)
+            midx = np.asarray(self.msaidxs, np.int64)
+            self.cns, self.qlt, self.alt, ret = NR.cns_tail(
+                sc, btm, self.msacols, midx, mlen, nall, nmax,
+                self.par.psub, QLT_MAX)
+            self._cns_cpos_writeback(nall)
+            return ret
+        sc, btm, lbm = self._cns_forward_py(
+            sc, btm, lbm, bs, cols, mlen, nseq, dptable, dpvals,
+            min_freq_calq)
         pos = mlen - 1
         pos = mlen - 1
         c = 4
@@ -1328,21 +1348,26 @@ class BSPOA:
         self.cns = np.array(cns, np.uint8)
         self.qlt = np.array(qlt, np.uint8)
         self.alt = np.array(alt, np.uint8)
-        if g.nodes:
-            from .graph import ND_CPOS
-            CPOS = g._nd[ND_CPOS]
-            order = np.asarray(self.msaidxs, np.int64)
-            mat = self.msacols[order]
-            cnsrow = mat[:, nall] < 4
-            cpos_at = np.concatenate([[0], np.cumsum(cnsrow)[:-1]])
-            for rid in range(min(nall, len(g.ndoffs))):
-                sel = mat[:, rid] < 4
-                k = int(sel.sum())
-                if k:
-                    CPOS[g.ndoffs[rid]: g.ndoffs[rid] + k] = cpos_at[sel]
-            g.nodes[g.HEAD].cpos = 0
-            g.nodes[g.TAIL].cpos = len(self.cns)
+        self._cns_cpos_writeback(nall)
         return ret
+
+    def _cns_cpos_writeback(self, nall):
+        g = self.g
+        if not g.nodes:
+            return
+        from .graph import ND_CPOS
+        CPOS = g._nd[ND_CPOS]
+        order = np.asarray(self.msaidxs, np.int64)
+        mat = self.msacols[order]
+        cnsrow = mat[:, nall] < 4
+        cpos_at = np.concatenate([[0], np.cumsum(cnsrow)[:-1]])
+        for rid in range(min(nall, len(g.ndoffs))):
+            sel = mat[:, rid] < 4
+            k = int(sel.sum())
+            if k:
+                CPOS[g.ndoffs[rid]: g.ndoffs[rid] + k] = cpos_at[sel]
+        g.nodes[g.HEAD].cpos = 0
+        g.nodes[g.TAIL].cpos = len(self.cns)
 
     # ----------------------------------------------- MSA helper nodes
     def add_msanodes(self, rps: Optional[List[int]] = None):
@@ -1426,8 +1451,11 @@ class BSPOA:
             return
         for j in range(4, -1, -1):
             clen = len(g.nodes) - g.ndoffs[nseq + j] - 1
-            for i in range(-1, clen + 1):
-                g.cut_rdnode(nseq + j, i, 3)
+            if g._native is not None:
+                NR.g_cut_range_asc(g, nseq + j, -1, clen + 1, 3)
+            else:
+                for i in range(-1, clen + 1):
+                    g.cut_rdnode(nseq + j, i, 3)
             del g.nodes[g.ndoffs[nseq + j] - 1:]
             del g.ndoffs[nseq + j:]
             del self.rdregs0[nseq + j:]
