@@ -219,38 +219,52 @@ def _kmer_chain(qseq: np.ndarray, tseq: np.ndarray, ksz: int,
     kmk = (1 << (2 * ksz)) - 1
     sft = (ksz - 1) * 2
 
-    def kmerize(seq: np.ndarray, flg: int):
-        out = []
-        kf = kr = 0
-        n = len(seq)
-        for i in range(n):
-            b = int(seq[i])
-            kf = ((kf << 2) | b) & kmk
-            kr = (kr >> 2) | (((~b) & 0x3) << sft)
-            if i >= ksz - 1:
-                dirn = 1 if kr < kf else 0
-                out.append(((kr if dirn else kf), dirn, flg, i + 1 - ksz))
-        return out
+    def kmerize(seq: np.ndarray):
+        # vectorized rolling fwd/rc kmers: values/dirs identical to the
+        # scalar recurrence kf=((kf<<2)|b)&kmk, kr=(kr>>2)|(comp(b)<<sft)
+        m = len(seq) - ksz + 1
+        if m <= 0:
+            z = np.zeros(0, np.int64)
+            return z, z
+        win = np.lib.stride_tricks.sliding_window_view(
+            seq.astype(np.int64), ksz)
+        wf = (4 ** np.arange(ksz - 1, -1, -1)).astype(np.int64)
+        wr = (4 ** np.arange(ksz)).astype(np.int64)
+        kf = win @ wf
+        kr = (3 - win) @ wr
+        dirn = kr < kf
+        return np.where(dirn, kr, kf), dirn.astype(np.int64)
 
-    kmers = kmerize(qseq, 0) + kmerize(tseq, 1)
-    kmers.sort(key=lambda k: k[0])
+    vq, dq = kmerize(qseq)
+    vt, dt = kmerize(tseq)
+    vals = np.concatenate([vq, vt])
+    dirs = np.concatenate([dq, dt])
+    flgs = np.concatenate([np.zeros(len(vq), np.int64),
+                           np.ones(len(vt), np.int64)])
+    offs = np.concatenate([np.arange(len(vq), dtype=np.int64),
+                           np.arange(len(vt), dtype=np.int64)])
+    # stable sort by kmer value keeps q entries ahead of t entries on ties,
+    # matching the reference's stable sort of the combined kmer list
+    order = np.argsort(vals, kind="stable")
+    v, d, f, o = vals[order], dirs[order], flgs[order], offs[order]
+    n = len(v)
     # unique 1:1 pairs: kmer seen exactly twice, once per sequence, same dir
-    khits: List[Tuple[int, int]] = []
-    n = len(kmers)
-    b = 0
-    for i in range(n + 1):
-        if i < n and kmers[i][0] == kmers[b][0]:
-            continue
-        if i - b == 2 and kmers[b][2] != kmers[b + 1][2] \
-                and kmers[b][1] == kmers[b + 1][1]:
-            a, c = kmers[b], kmers[b + 1]
-            if a[2] > c[2]:
-                a, c = c, a
-            khits.append((a[3], c[3]))
-        b = i
-    if len(khits) * ksz < cmin:
+    if n >= 2:
+        eq_next = np.zeros(n, bool)
+        eq_next[:-1] = v[:-1] == v[1:]
+        eq_prev = np.zeros(n, bool)
+        eq_prev[1:] = eq_next[:-1]
+        i0 = np.flatnonzero(eq_next & ~eq_prev)
+        ok = (~eq_next[i0 + 1]) & (f[i0] != f[i0 + 1]) & (d[i0] == d[i0 + 1])
+        i0 = i0[ok]
+        qoffs, toffs = o[i0], o[i0 + 1]
+    else:
+        qoffs = toffs = np.zeros(0, np.int64)
+    if len(qoffs) * ksz < cmin:
         return None
-    khits.sort(key=lambda h: h[0])
+    order2 = np.argsort(qoffs, kind="stable")
+    khits: List[Tuple[int, int]] = list(
+        zip(qoffs[order2].tolist(), toffs[order2].tolist()))
     kcnt = len(khits)
     # LIS over target offsets, replicating the reference's exact linking rule
     # (bsalign.h:1285-1330, including its predecessor-of-predecessor link)
