@@ -44,13 +44,34 @@ static inline i8 subs8(i8 a, i8 b) {
 
 static inline i8 max8(i8 a, i8 b) { return a > b ? a : b; }
 
+// 16-lane saturating int8 vector path for the striped row kernels. The
+// semantics of paddsb/psubsb/pmaxsb are exactly adds8/subs8/max8, so the
+// vector and scalar bodies are bit-identical; the scalar bodies remain as
+// the portable fallback (and the reviewed ground truth).
+#if defined(__SSE4_1__)
+#include <immintrin.h>
+#define BSA_V16 1
+typedef __m128i v16;
+static inline v16 vld16(const i8 *p) {
+    return _mm_loadu_si128(reinterpret_cast<const __m128i *>(p));
+}
+static inline void vst16(i8 *p, v16 a) {
+    _mm_storeu_si128(reinterpret_cast<__m128i *>(p), a);
+}
+#endif
+
 static inline i8 wrap8(i64 x) { return (i8)(uint8_t)(x & 0xFF); }
 
 static inline int c_div(int a, int b) { return a / b; }  // C truncation
 
 // out[j] = x[j+k], zero fill
 static inline void lane_dn(const i8 *x, int k, i8 *out) {
-    for (int j = 0; j < WSZ; j++) out[j] = (j + k < WSZ) ? x[j + k] : 0;
+    if (k >= WSZ) {
+        memset(out, 0, WSZ);
+        return;
+    }
+    memcpy(out, x + k, (size_t)(WSZ - k));
+    memset(out + WSZ - k, 0, (size_t)k);
 }
 
 struct Row {
@@ -220,6 +241,20 @@ static void piece0_row_cal(int rbeg, int tbase, const Row &prev, Row &cur,
                            (i64)prev.us[0] + gape1);
     memcpy(h, QPROW(0), WSZ);
     h[0] = wrap8(h0);
+#if BSA_V16
+    {
+        const v16 vGapE = _mm_set1_epi8(GapE);
+        v16 vf = vld16(f), vh = vld16(h);
+        for (int i = 0; i < W; i++) {
+            const v16 vpu = vld16(prev.us + (size_t)i * WSZ);
+            v16 hh = _mm_max_epi8(_mm_adds_epi8(vpu, vGapE), vh);
+            hh = _mm_max_epi8(vf, hh);
+            vf = _mm_subs_epi8(_mm_adds_epi8(hh, vGapE), vpu);
+            vh = vld16(QPROW(i + 1));
+        }
+        vst16(f, vf);
+    }
+#else
     for (int i = 0; i < W; i++) {
         const i8 *pu = prev.us + (size_t)i * WSZ;
         for (int j = 0; j < WSZ; j++) {
@@ -231,12 +266,35 @@ static void piece0_row_cal(int rbeg, int tbase, const Row &prev, Row &cur,
         }
         memcpy(h, QPROW(i + 1), WSZ);
     }
+#endif
     fpenetration(f, prev.ubegs, gape1, W);
     i8 z[WSZ];
     memcpy(z, QPROW(0), WSZ);
     z[0] = wrap8(h0);
     memset(v, 0, WSZ);
     memset(u, 0, WSZ);
+#if BSA_V16
+    {
+        const v16 vGapE = _mm_set1_epi8(GapE);
+        v16 vz = vld16(z), vf = vld16(f);
+        v16 vv = _mm_setzero_si128(), vu = _mm_setzero_si128();
+        v16 vh = _mm_setzero_si128();
+        for (int i = 0; i < W; i++) {
+            vu = vld16(prev.us + (size_t)i * WSZ);
+            v16 hh = _mm_max_epi8(_mm_adds_epi8(vu, vGapE), vz);
+            hh = _mm_max_epi8(vf, hh);
+            vst16(cur.us + (size_t)i * WSZ, _mm_subs_epi8(hh, vv));
+            vv = _mm_subs_epi8(hh, vu);
+            vf = _mm_subs_epi8(_mm_adds_epi8(hh, vGapE), vu);
+            vh = hh;
+            vz = vld16(QPROW(i + 1));
+        }
+        vst16(h, vh);
+        vst16(u, vu);
+        vst16(v, vv);
+        (void)e;
+    }
+#else
     for (int i = 0; i < W; i++) {
         const i8 *pu = prev.us + (size_t)i * WSZ;
         i8 *cu = cur.us + (size_t)i * WSZ;
@@ -253,6 +311,7 @@ static void piece0_row_cal(int rbeg, int tbase, const Row &prev, Row &cur,
         }
         memcpy(z, QPROW(i + 1), WSZ);
     }
+#endif
     row_cal_tail(h, u, v, cur, prev.ubegs);
 }
 
@@ -267,6 +326,25 @@ static void piece1_row_cal(int rbeg, int tbase, const Row &prev, Row &cur,
                            (i64)prev.us[0] + (i64)prev.es[0]);
     memcpy(h, QPROW(0), WSZ);
     h[0] = wrap8(h0);
+#if BSA_V16
+    {
+        const v16 vGapE = _mm_set1_epi8(GapE);
+        const v16 vGapOE = _mm_set1_epi8(GapOE);
+        v16 vf = vld16(f), vh = vld16(h);
+        for (int i = 0; i < W; i++) {
+            const v16 vpu = vld16(prev.us + (size_t)i * WSZ);
+            const v16 vpe = vld16(prev.es + (size_t)i * WSZ);
+            v16 hh = _mm_max_epi8(_mm_adds_epi8(vpe, vpu), vh);
+            hh = _mm_max_epi8(vf, hh);
+            v16 ff = _mm_adds_epi8(vf, vGapE);
+            hh = _mm_adds_epi8(hh, vGapOE);
+            ff = _mm_max_epi8(ff, hh);
+            vf = _mm_subs_epi8(ff, vpu);
+            vh = vld16(QPROW(i + 1));
+        }
+        vst16(f, vf);
+    }
+#else
     for (int i = 0; i < W; i++) {
         const i8 *pu = prev.us + (size_t)i * WSZ;
         const i8 *pe = prev.es + (size_t)i * WSZ;
@@ -281,12 +359,41 @@ static void piece1_row_cal(int rbeg, int tbase, const Row &prev, Row &cur,
         }
         memcpy(h, QPROW(i + 1), WSZ);
     }
+#endif
     fpenetration(f, prev.ubegs, gape1, W);
     i8 z[WSZ];
     memcpy(z, QPROW(0), WSZ);
     z[0] = wrap8(h0);
     memset(v, 0, WSZ);
     memset(u, 0, WSZ);
+#if BSA_V16
+    {
+        const v16 vGapE = _mm_set1_epi8(GapE);
+        const v16 vGapOE = _mm_set1_epi8(GapOE);
+        v16 vz = vld16(z), vf = vld16(f);
+        v16 vv = _mm_setzero_si128(), vu = _mm_setzero_si128();
+        v16 vh = _mm_setzero_si128();
+        for (int i = 0; i < W; i++) {
+            vu = vld16(prev.us + (size_t)i * WSZ);
+            v16 ee = _mm_adds_epi8(vld16(prev.es + (size_t)i * WSZ), vu);
+            v16 hh = _mm_max_epi8(ee, vz);
+            hh = _mm_max_epi8(vf, hh);
+            vst16(cur.us + (size_t)i * WSZ, _mm_subs_epi8(hh, vv));
+            vv = _mm_subs_epi8(hh, vu);
+            ee = _mm_subs_epi8(_mm_adds_epi8(ee, vGapE), hh);
+            vst16(cur.es + (size_t)i * WSZ, _mm_max_epi8(ee, vGapOE));
+            v16 ff = _mm_adds_epi8(vf, vGapE);
+            v16 h2 = _mm_adds_epi8(hh, vGapOE);
+            ff = _mm_max_epi8(ff, h2);
+            vf = _mm_subs_epi8(ff, vu);
+            vh = h2;  // oracle mutates h via adds8(h, GapOE); tail sees it
+            vz = vld16(QPROW(i + 1));
+        }
+        vst16(h, _mm_subs_epi8(vh, vGapOE));
+        vst16(u, vu);
+        vst16(v, vv);
+    }
+#else
     for (int i = 0; i < W; i++) {
         const i8 *pu = prev.us + (size_t)i * WSZ;
         const i8 *pe = prev.es + (size_t)i * WSZ;
@@ -311,6 +418,7 @@ static void piece1_row_cal(int rbeg, int tbase, const Row &prev, Row &cur,
         memcpy(z, QPROW(i + 1), WSZ);
     }
     for (int j = 0; j < WSZ; j++) h[j] = subs8(h[j], GapOE);
+#endif
     row_cal_tail(h, u, v, cur, prev.ubegs);
 }
 
@@ -335,6 +443,35 @@ static void piece2_row_cal(int rbeg, int tbase, const Row &prev, Row &cur,
                            (i64)prev.us[0] + eq0);
     memcpy(h, QPROW(0), WSZ);
     h[0] = wrap8(h0);
+#if BSA_V16
+    {
+        const v16 vGapE = _mm_set1_epi8(GapE);
+        const v16 vGapOE = _mm_set1_epi8(GapOE);
+        const v16 vGapP = _mm_set1_epi8(GapP);
+        const v16 vGapOQ = _mm_set1_epi8(GapOQ);
+        v16 vf = vld16(f), vg = vld16(g), vh = vld16(h);
+        for (int i = 0; i < W; i++) {
+            const v16 vpu = vld16(prev.us + (size_t)i * WSZ);
+            v16 ee = _mm_adds_epi8(vld16(prev.es + (size_t)i * WSZ), vpu);
+            v16 qq = _mm_adds_epi8(vld16(prev.qs + (size_t)i * WSZ), vpu);
+            v16 hh = _mm_max_epi8(ee, vh);
+            hh = _mm_max_epi8(qq, hh);
+            hh = _mm_max_epi8(vf, hh);
+            hh = _mm_max_epi8(vg, hh);
+            v16 ff = _mm_adds_epi8(vf, vGapE);
+            hh = _mm_adds_epi8(hh, vGapOE);
+            ff = _mm_max_epi8(ff, hh);
+            vf = _mm_subs_epi8(ff, vpu);
+            v16 gg = _mm_adds_epi8(vg, vGapP);
+            hh = _mm_subs_epi8(hh, vGapOQ);
+            gg = _mm_max_epi8(gg, hh);
+            vg = _mm_subs_epi8(gg, vpu);
+            vh = vld16(QPROW(i + 1));
+        }
+        vst16(f, vf);
+        vst16(g, vg);
+    }
+#else
     for (int i = 0; i < W; i++) {
         const i8 *pu = prev.us + (size_t)i * WSZ;
         const i8 *pe = prev.es + (size_t)i * WSZ;
@@ -357,6 +494,7 @@ static void piece2_row_cal(int rbeg, int tbase, const Row &prev, Row &cur,
         }
         memcpy(h, QPROW(i + 1), WSZ);
     }
+#endif
     fpenetration(f, prev.ubegs, gape1, W);
     fpenetration(g, prev.ubegs, gape2, W);
     i8 z[WSZ];
@@ -364,6 +502,46 @@ static void piece2_row_cal(int rbeg, int tbase, const Row &prev, Row &cur,
     z[0] = wrap8(h0);
     memset(v, 0, WSZ);
     memset(u, 0, WSZ);
+#if BSA_V16
+    {
+        const v16 vGapE = _mm_set1_epi8(GapE);
+        const v16 vGapOE = _mm_set1_epi8(GapOE);
+        const v16 vGapP = _mm_set1_epi8(GapP);
+        const v16 vGapOQ = _mm_set1_epi8(GapOQ);
+        const v16 vGapQP = _mm_set1_epi8(GapQP);
+        v16 vz = vld16(z), vf = vld16(f), vg = vld16(g);
+        v16 vv = _mm_setzero_si128(), vu = _mm_setzero_si128();
+        v16 vh = _mm_setzero_si128();
+        for (int i = 0; i < W; i++) {
+            vu = vld16(prev.us + (size_t)i * WSZ);
+            v16 ee = _mm_adds_epi8(vld16(prev.es + (size_t)i * WSZ), vu);
+            v16 hh = _mm_max_epi8(ee, vz);
+            v16 qq = _mm_adds_epi8(vld16(prev.qs + (size_t)i * WSZ), vu);
+            hh = _mm_max_epi8(qq, hh);
+            hh = _mm_max_epi8(vf, hh);
+            hh = _mm_max_epi8(vg, hh);
+            vst16(cur.us + (size_t)i * WSZ, _mm_subs_epi8(hh, vv));
+            vv = _mm_subs_epi8(hh, vu);
+            ee = _mm_subs_epi8(_mm_adds_epi8(ee, vGapE), hh);
+            vst16(cur.es + (size_t)i * WSZ, _mm_max_epi8(ee, vGapOE));
+            qq = _mm_subs_epi8(_mm_adds_epi8(qq, vGapP), hh);
+            vst16(cur.qs + (size_t)i * WSZ, _mm_max_epi8(qq, vGapQP));
+            v16 ff = _mm_adds_epi8(vf, vGapE);
+            v16 h2 = _mm_adds_epi8(hh, vGapOE);
+            ff = _mm_max_epi8(ff, h2);
+            vf = _mm_subs_epi8(ff, vu);
+            v16 gg = _mm_adds_epi8(vg, vGapP);
+            v16 h3 = _mm_subs_epi8(h2, vGapOQ);  // oracle: subs8(adds8(h,GapOE),GapOQ)
+            gg = _mm_max_epi8(gg, h3);
+            vg = _mm_subs_epi8(gg, vu);
+            vh = h3;
+            vz = vld16(QPROW(i + 1));
+        }
+        vst16(h, _mm_subs_epi8(vh, vGapQP));
+        vst16(u, vu);
+        vst16(v, vv);
+    }
+#else
     for (int i = 0; i < W; i++) {
         const i8 *pu = prev.us + (size_t)i * WSZ;
         const i8 *pe = prev.es + (size_t)i * WSZ;
@@ -400,6 +578,7 @@ static void piece2_row_cal(int rbeg, int tbase, const Row &prev, Row &cur,
         memcpy(z, QPROW(i + 1), WSZ);
     }
     for (int j = 0; j < WSZ; j++) h[j] = subs8(h[j], GapQP);
+#endif
     row_cal_tail(h, u, v, cur, prev.ubegs);
 }
 
