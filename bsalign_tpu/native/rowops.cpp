@@ -705,7 +705,44 @@ extern "C" void bsa_pedit_forward(uint8_t *matrix0, uint8_t *matrix1,
         const uint8_t *sr = seqs0 + HW + xb;   // read-side bases
         const uint8_t *pu = dirn ? p0 + 2 : p0 + 1;
         const uint8_t *pv = dirn ? p1 + 1 : p1;
-        for (int i = 0; i < bw; i++) {
+        int i = 0;
+#if BSA_V16
+        // vector body: per-base count via 4 cmpeq+and selects (the same
+        // trick as the reference's blendv kernel, bspoa.h:3856-3896);
+        // cells with base>=4 select nothing and contribute 0
+        for (; i + 16 <= bw; i += 16) {
+            const __m128i vcb =
+                _mm_loadu_si128(reinterpret_cast<const __m128i *>(sc + i));
+            const __m128i vrb =
+                _mm_loadu_si128(reinterpret_cast<const __m128i *>(sr + i));
+            __m128i xs = _mm_setzero_si128(), ys = _mm_setzero_si128();
+            for (int b = 0; b < 4; b++) {
+                const __m128i vb = _mm_set1_epi8((char)b);
+                const __m128i m0 = _mm_loadu_si128(
+                    reinterpret_cast<const __m128i *>(
+                        mats0 + (size_t)b * pad + HW + xb + i));
+                const __m128i m1 = _mm_loadu_si128(
+                    reinterpret_cast<const __m128i *>(
+                        mats1 + (size_t)b * pad + HW + yb + i));
+                xs = _mm_or_si128(
+                    xs, _mm_and_si128(_mm_cmpeq_epi8(vcb, vb), m0));
+                ys = _mm_or_si128(
+                    ys, _mm_and_si128(_mm_cmpeq_epi8(vrb, vb), m1));
+            }
+            __m128i h = _mm_adds_epu8(xs, ys);
+            const __m128i u =
+                _mm_loadu_si128(reinterpret_cast<const __m128i *>(pu + i));
+            const __m128i v =
+                _mm_loadu_si128(reinterpret_cast<const __m128i *>(pv + i));
+            h = _mm_max_epu8(h, u);
+            h = _mm_max_epu8(h, v);
+            _mm_storeu_si128(reinterpret_cast<__m128i *>(c0 + 1 + i),
+                             _mm_sub_epi8(h, v));
+            _mm_storeu_si128(reinterpret_cast<__m128i *>(c1 + 1 + i),
+                             _mm_sub_epi8(h, u));
+        }
+#endif
+        for (; i < bw; i++) {
             const uint8_t cb = sc[i];
             const uint8_t rb = sr[i];
             int xs = (cb < 4) ? mats0[(size_t)cb * pad + HW + xb + i] : 0;
