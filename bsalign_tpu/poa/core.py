@@ -1273,7 +1273,7 @@ class BSPOA:
         dptable = self.dptable
         dpvals = self.dpvals
         cols = [self.msacols[self.msaidxs[p]] for p in range(mlen)]
-        if NR.available() and mlen:
+        if NR.available() and mlen and isinstance(self.msacols, np.ndarray):
             colmat = np.ascontiguousarray(np.stack(cols)).astype(np.uint8)
             dpt = np.ascontiguousarray(np.asarray(dptable, np.uint8))
             dpv = np.ascontiguousarray(np.asarray(dpvals, np.float64))

@@ -48,13 +48,10 @@ def subset(g: BSPOA, keep: Sequence[int]) -> BSPOA:
     nall = len(g.seqs)
     mrow_d = d.nrds + 3
     d.msaidxs = list(range(mlen))
-    d.msacols = [np.zeros(mrow_d, np.uint8) for _ in range(mlen)]
-    for pos in range(mlen):
-        col = g.msacols[g.msaidxs[pos]]
-        bss = d.msacols[pos]
-        for j, rid in enumerate(sel):
-            bss[j] = col[rid]
-        bss[d.nrds:] = 0
+    d.msacols = np.zeros((mlen, mrow_d), np.uint8)
+    order = np.asarray(g.msaidxs, np.int64)
+    src = np.asarray(g.msacols)[order]
+    d.msacols[:, :d.nrds] = src[:, np.asarray(sel, np.int64)]
     d.cns_call()
     return d
 
