@@ -1153,8 +1153,8 @@ class BSPOA:
         self._mask_lead_tail_gaps(nseq)
         # vectorized majority vote with the reference's first-seen-rank
         # tie-break (bsalign bspoa.h:3337-3360)
-        cols = [self.msacols[self.msaidxs[p]] for p in range(mlen)]
-        sub = np.stack(cols)[:, :nseq]                  # [mlen, nseq]
+        order0 = np.asarray(self.msaidxs, np.int64)
+        sub = self.msacols[order0, :nseq]               # [mlen, nseq]
         cnts = np.zeros((mlen, 5), np.int64)
         rank = np.full((mlen, 5), 0xFFFF, np.int64)
         for v in range(5):
@@ -1272,9 +1272,13 @@ class BSPOA:
         bs = np.zeros((10, nseq), np.uint8)
         dptable = self.dptable
         dpvals = self.dpvals
-        cols = [self.msacols[self.msaidxs[p]] for p in range(mlen)]
         if NR.available() and mlen and isinstance(self.msacols, np.ndarray):
-            colmat = np.ascontiguousarray(np.stack(cols)).astype(np.uint8)
+            midx64 = np.asarray(self.msaidxs, np.int64)
+            if midx64.size == len(self.msacols) \
+                    and np.array_equal(midx64, np.arange(midx64.size)):
+                colmat = np.ascontiguousarray(self.msacols, np.uint8)
+            else:
+                colmat = np.ascontiguousarray(self.msacols[midx64], np.uint8)
             dpt = np.ascontiguousarray(np.asarray(dptable, np.uint8))
             dpv = np.ascontiguousarray(np.asarray(dpvals, np.float64))
             sc, btm, lbm = NR.cns_forward(colmat, nseq, dpt, dpv,
@@ -1285,6 +1289,7 @@ class BSPOA:
                 self.par.psub, QLT_MAX)
             self._cns_cpos_writeback(nall)
             return ret
+        cols = [self.msacols[self.msaidxs[p]] for p in range(mlen)]
         sc, btm, lbm = self._cns_forward_py(
             sc, btm, lbm, bs, cols, mlen, nseq, dptable, dpvals,
             min_freq_calq)
