@@ -146,6 +146,9 @@ def rowops_lib():
             ctypes.c_void_p,
         ]
         lib.bsa_cns_tail.restype = ctypes.c_long
+        lib.bsa_hp_adjust.argtypes = [ctypes.c_long, ctypes.c_void_p,
+                                      ctypes.c_void_p, ctypes.c_long]
+        lib.bsa_hp_adjust.restype = None
         lib.bsa_edit_row.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
                                      ctypes.c_int, ctypes.c_int,
                                      ctypes.c_void_p]

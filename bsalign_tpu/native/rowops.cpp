@@ -2521,3 +2521,171 @@ extern "C" long bsa_cns_tail(const double *sc, const uint8_t *btm,
 #undef SC5
     return ncns;
 }
+
+// ---- homopolymer count re-attribution (bspoa.h:4239-4319 / 4588-4671) ----
+// Operates on a dense [mlen][4] int64 count matrix; the python callers copy
+// their storage (u8 profile rows / i64 bcnts) in and out. Tie order matters,
+// so the reference's exact median-of-3 quicksort with >5-run skip + bubble
+// finish (sort.h:137-198, mirrored in poa/csort.py) is reproduced.
+typedef int (*hp_gt_fn)(int64_t, int64_t);
+
+static int hp_gt_base(int64_t a, int64_t b) { return (a & 7) > (b & 7); }
+
+static int hp_gt_flagpos(int64_t a, int64_t b) {
+    const long b1 = (b >> 3) & 1, a1 = (a >> 3) & 1;
+    if (b1 != a1) return b1 > a1;
+    return -((b >> 4) & 0xFFF) > -((a >> 4) & 0xFFF);
+}
+
+static int hp_gt_ci(int64_t a, int64_t b) { return (b >> 16) > (a >> 16); }
+
+static void hp_sort(int64_t *rs, long n, hp_gt_fn gt) {
+    if (n < 2) return;
+    std::vector<std::pair<long, long> > stk;
+    stk.push_back(std::make_pair(0L, n - 1));
+    while (!stk.empty()) {
+        const long s = stk.back().first, e = stk.back().second;
+        stk.pop_back();
+        long m = s + (e - s) / 2;
+        int64_t t;
+        if (gt(rs[s], rs[m])) { t = rs[s]; rs[s] = rs[m]; rs[m] = t; }
+        if (gt(rs[m], rs[e])) {
+            t = rs[e]; rs[e] = rs[m]; rs[m] = t;
+            if (gt(rs[s], rs[m])) { t = rs[s]; rs[s] = rs[m]; rs[m] = t; }
+        }
+        const int64_t p = rs[m];
+        long i = s + 1, j = e - 1;
+        for (;;) {
+            while (gt(p, rs[i])) i++;
+            while (gt(rs[j], p)) j--;
+            if (i < j) {
+                t = rs[i]; rs[i] = rs[j]; rs[j] = t;
+                i++; j--;
+            } else {
+                break;
+            }
+        }
+        if (i == j) { i++; j--; }
+        if (j - s > e - i) {
+            if (s + 4 < j) stk.push_back(std::make_pair(s, j));
+            if (i + 4 < e) stk.push_back(std::make_pair(i, e));
+        } else {
+            if (i + 4 < e) stk.push_back(std::make_pair(i, e));
+            if (s + 4 < j) stk.push_back(std::make_pair(s, j));
+        }
+    }
+    for (long i = 0; i < n; i++) {
+        int moved = 0;
+        for (long j = n - 1; j > i; j--) {
+            if (gt(rs[j - 1], rs[j])) {
+                int64_t t = rs[j - 1]; rs[j - 1] = rs[j]; rs[j] = t;
+                moved = 1;
+            }
+        }
+        if (!moved) break;
+    }
+}
+
+extern "C" void bsa_hp_adjust(long mlen, const uint8_t *cnsrow, int64_t *cnt,
+                              long cap255) {
+    // phase 1: move [cns=4] minor-base counts right to the next cns column
+    for (long pos = 0; pos < mlen; pos++) {
+        const long lc = cnsrow[pos];
+        if (lc >= 4) continue;
+        for (long i = pos; i > 0; i--) {
+            if (cnsrow[i - 1] < 4) break;
+            const long ci = cnt[(i - 1) * 4 + lc];
+            if (ci && (!cap255 || ci + cnt[pos * 4 + lc] <= 255)) {
+                cnt[pos * 4 + lc] += ci;
+                cnt[(i - 1) * 4 + lc] = 0;
+            }
+        }
+    }
+    // phase 2: redistribute within each cns homopolymer run
+    long lc = 4, mc = 0, lpos = 0;
+    long cnts[4] = {0, 0, 0, 0};
+    std::vector<int64_t> stk;
+    for (long pos = 0; pos <= mlen; pos++) {
+        int flush = 0;
+        if (pos == mlen) {
+            flush = 1;
+        } else {
+            const long col = cnsrow[pos];
+            if (col < 4 && col != lc) flush = 1;
+        }
+        if (flush && !stk.empty()) {
+            hp_sort(stk.data(), (long)stk.size(), hp_gt_base);
+            const long n = (long)stk.size();
+            long i = 0, p = 0;
+            while (i <= n) {
+                if (i < n && (stk[i] & 7) == (stk[p] & 7)) { i++; continue; }
+                const long pb_base = stk[p] & 7;
+                long cc = pb_base < 4 ? cnts[pb_base] : 0;
+                long j;
+                if (pb_base == lc) {
+                    hp_sort(stk.data() + p, i - p, hp_gt_flagpos);
+                    j = p;
+                    while (cc && j < i) {
+                        const int64_t pb = stk[j];
+                        if (((pb >> 3) & 1) == 0) break;
+                        const long bc = cc < mc ? cc : mc;
+                        cnt[(lpos + ((pb >> 4) & 0xFFF)) * 4 + (pb & 7)] = bc;
+                        cc -= bc;
+                        j++;
+                    }
+                    while (p < j) {
+                        const int64_t pb = stk[p];
+                        const size_t idx =
+                            (size_t)(lpos + ((pb >> 4) & 0xFFF)) * 4 + (pb & 7);
+                        const long d = j - p;
+                        if (!cap255 || d + cnt[idx] <= 255) cnt[idx] += d;
+                        p++;
+                    }
+                    p = j;
+                    hp_sort(stk.data() + p, i - p, hp_gt_ci);
+                    j = p;
+                    while (cc && j < i) {
+                        const int64_t pb = stk[j];
+                        const long bc = cc < mc ? cc : mc;
+                        cnt[(lpos + ((pb >> 4) & 0xFFF)) * 4 + (pb & 7)] = bc;
+                        cc -= bc;
+                        j++;
+                    }
+                } else {
+                    hp_sort(stk.data() + p, i - p, hp_gt_ci);
+                    j = p;
+                    while (cc && j < i) {
+                        const int64_t pb = stk[j];
+                        const long bc = cc < mc ? cc : mc;
+                        cnt[(lpos + ((pb >> 4) & 0xFFF)) * 4 + (pb & 7)] = bc;
+                        cc -= bc;
+                        j++;
+                    }
+                }
+                p = i;
+                i++;
+            }
+        }
+        if (pos == mlen) break;
+        if (cnsrow[pos] < 4 && cnsrow[pos] != lc) {
+            lc = cnsrow[pos];
+            mc = 0;
+            cnts[0] = cnts[1] = cnts[2] = cnts[3] = 0;
+            lpos = pos;
+            stk.clear();
+        }
+        for (long b = 0; b < 4; b++) {
+            const long ci = cnt[pos * 4 + b];
+            if (ci) {
+                if (ci > mc) mc = ci;
+                cnts[b] += ci;
+                const int64_t pb =
+                    (int64_t)((b & 7) | ((b == (long)cnsrow[pos] ? 1 : 0) << 3) |
+                              (((pos - lpos) & 0xFFF) << 4)) |
+                    ((int64_t)(ci & 0xFFFF) << 16);
+                stk.push_back(pb);
+                cnt[pos * 4 + b] = 0;
+            }
+        }
+    }
+}

@@ -356,6 +356,13 @@ def g_cut_range(g, rid, lo, hi, cut):
         raise RuntimeError("native cut_range failed")
 
 
+def hp_adjust(mlen, cnsrow, cnt, cap255):
+    """Native homopolymer count re-attribution over a [mlen,4] int64 count
+    matrix (in place); cnsrow is the uint8 consensus row."""
+    rowops_lib().bsa_hp_adjust(mlen, cnsrow.ctypes.data, cnt.ctypes.data,
+                               1 if cap255 else 0)
+
+
 def g_cut_range_asc(g, rid, lo, hi, cut):
     """cut_rdnode over positions lo..hi-1 (ascending; del_msanodes order)."""
     g._encap_edges(8 * (hi - lo) + 64)

@@ -1602,16 +1602,25 @@ class BSPOA:
                     mats1[col[rid], HW + pos] += 1
         np.minimum(mats1, 255, out=mats1)  # u1i semantics (counts < nseq < 255)
         if hpadjust:
-            def get_cnt(b, p):
-                return int(mats1[b, HW + p])
+            if NR.available():
+                cnsrow = np.ascontiguousarray(
+                    self.msacols[np.asarray(self.msaidxs, np.int64), nall],
+                    np.uint8)
+                cnt = np.ascontiguousarray(mats1[:4, HW:HW + mlen].T,
+                                           np.int64)
+                NR.hp_adjust(mlen, cnsrow, cnt, True)
+                mats1[:4, HW:HW + mlen] = cnt.T
+            else:
+                def get_cnt(b, p):
+                    return int(mats1[b, HW + p])
 
-            def set_cnt(b, p, v):
-                mats1[b, HW + p] = v
+                def set_cnt(b, p, v):
+                    mats1[b, HW + p] = v
 
-            def add_cnt(b, p, d, cap):
-                if d + int(mats1[b, HW + p]) <= 255:
-                    mats1[b, HW + p] += d
-            self._hp_adjust(mlen, nall, get_cnt, set_cnt, add_cnt, True)
+                def add_cnt(b, p, d, cap):
+                    if d + int(mats1[b, HW + p]) <= 255:
+                        mats1[b, HW + p] += d
+                self._hp_adjust(mlen, nall, get_cnt, set_cnt, add_cnt, True)
         # reverse mats1 over [0, mlen)
         mats1[:, HW:HW + mlen] = mats1[:, HW:HW + mlen][:, ::-1]
         mats1 = mats1.astype(np.uint8)
@@ -2089,15 +2098,21 @@ class BSPOA:
                 if col[rid] < 4:
                     bcnts[pos, col[rid]] += 1
 
-        def get_cnt(b, p):
-            return int(bcnts[p, b])
+        if NR.available():
+            cnt = np.ascontiguousarray(bcnts[:, :4])
+            NR.hp_adjust(mlen, np.ascontiguousarray(seqs1[HW:HW + mlen]),
+                         cnt, False)
+            bcnts[:, :4] = cnt
+        else:
+            def get_cnt(b, p):
+                return int(bcnts[p, b])
 
-        def set_cnt(b, p, v):
-            bcnts[p, b] = v
+            def set_cnt(b, p, v):
+                bcnts[p, b] = v
 
-        def add_cnt(b, p, d, cap):
-            bcnts[p, b] += d
-        self._hp_adjust(mlen, nall, get_cnt, set_cnt, add_cnt, False)
+            def add_cnt(b, p, d, cap):
+                bcnts[p, b] += d
+            self._hp_adjust(mlen, nall, get_cnt, set_cnt, add_cnt, False)
         matrix = np.zeros(mlen * W, np.uint8)
         seqs0 = np.full(mlen + 2 * HW, 4, np.uint8)
         breps = np.zeros(mlen, np.int64)
