@@ -91,19 +91,20 @@ def set_query_prof(qseq: np.ndarray, qlen: int, bandwidth: int,
     SCORE_EPI8_MIN beyond qlen (bsalign.h:2142-2164 native variant)."""
     W = bandwidth // WS
     xlen = max(qlen, bandwidth)
-    qprof = np.full((xlen + 1, 4, WS), SCORE_EPI8_MIN, dtype=np.int8)
-    # positions per (x, j): x + j*W
-    xs = np.arange(xlen + 1)[:, None] + np.arange(WS)[None, :] * W  # [x, j]
-    valid = xs < qlen
-    qv = np.where(valid, qseq[np.minimum(xs, qlen - 1)].astype(np.int64), 0)
-    qv = np.minimum(qv, 4)
+    # per-(x, j) cell reads query position x + j*W; everything positional is
+    # 1-D over [0, xlen + (WS-1)*W], gathered into the striped layout once
+    n1 = xlen + 1 + (WS - 1) * W
+    pos = np.arange(n1)
+    valid1 = pos < qlen
+    qv1 = np.where(valid1, qseq[np.minimum(pos, qlen - 1)], 0)
+    qv1 = np.minimum(qv1.astype(np.int64), 4)
     # row 4: N scores as SCORE_EPI8_MIN (the reference reads out-of-bounds
     # matrix memory here, main.c cat path; we define it instead)
     m4 = np.full((5, 4), SCORE_EPI8_MIN, np.int8)
     m4[:4] = mtx.reshape(4, 4)  # [qbase, tbase]
-    for b in range(4):
-        qprof[:, b, :] = np.where(valid, m4[qv, b], SCORE_EPI8_MIN)
-    return qprof
+    vals1 = np.where(valid1[:, None], m4[qv1], SCORE_EPI8_MIN)  # [pos, b]
+    xs = np.arange(xlen + 1)[:, None] + np.arange(WS)[None, :] * W
+    return np.ascontiguousarray(vals1[xs].transpose(0, 2, 1))
 
 
 def set_query_prof_hpc(qseq: np.ndarray, qlen: int, bandwidth: int,
@@ -112,17 +113,18 @@ def set_query_prof_hpc(qseq: np.ndarray, qlen: int, bandwidth: int,
     (bsalign.h:2194-2221). Values wrap like the C b1i store."""
     W = bandwidth // WS
     xlen = max(qlen, bandwidth)
-    qprof = np.full((xlen + 1, 4, WS), SCORE_EPI8_MIN, dtype=np.int8)
-    xs = np.arange(xlen + 1)[:, None] + np.arange(WS)[None, :] * W
-    valid = xs < qlen
-    safe = np.minimum(xs, qlen - 1)
-    qv = np.where(valid, qseq[safe].astype(np.int64), 0)
-    nxt_differs = (xs + 1 < qlen) & (qseq[safe] != qseq[np.minimum(safe + 1, qlen - 1)])
+    n1 = xlen + 1 + (WS - 1) * W
+    pos = np.arange(n1)
+    valid1 = pos < qlen
+    safe1 = np.minimum(pos, qlen - 1)
+    qv1 = np.where(valid1, qseq[safe1], 0).astype(np.int64)
+    nxt1 = (pos + 1 < qlen) \
+        & (qseq[safe1] != qseq[np.minimum(safe1 + 1, qlen - 1)])
     m4 = mtx.reshape(4, 4).astype(np.int64)
-    for b in range(4):
-        val = m4[qv, b] + np.where(nxt_differs, bonus, 0)
-        qprof[:, b, :] = np.where(valid, wrap8(val), SCORE_EPI8_MIN)
-    return qprof
+    val1 = m4[qv1] + np.where(nxt1, bonus, 0)[:, None]  # [pos, b]
+    vals1 = np.where(valid1[:, None], wrap8(val1), SCORE_EPI8_MIN)
+    xs = np.arange(xlen + 1)[:, None] + np.arange(WS)[None, :] * W
+    return np.ascontiguousarray(vals1[xs].transpose(0, 2, 1))
 
 
 class RowState:
