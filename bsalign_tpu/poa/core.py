@@ -1699,18 +1699,23 @@ class BSPOA:
                 from .graph import ND_BASE, ND_MPOS
                 NR.g_cut_range(g, rid, qb, qe, 3)
                 base0 = g.ndoffs[rid]
-                mps = g._nd[ND_MPOS][base0 + qb: base0 + qe].tolist()
-                bss = g._nd[ND_BASE][base0 + qb: base0 + qe].tolist()
-                for k in range(qe - qb - 1, -1, -1):
-                    vb = bss[k]
-                    seqs0[HW + mps[k]] = vb
-                    if vb == lc:
-                        if cc < 255:
-                            cc += 1
-                        mats0[vb, HW + mps[k]] = cc
-                    else:
-                        lc = vb
-                        cc = 0
+                mps = g._nd[ND_MPOS][base0 + qb: base0 + qe].astype(np.int64)
+                bss = g._nd[ND_BASE][base0 + qb: base0 + qe].astype(np.int64)
+                n = qe - qb
+                if n:
+                    seqs0[HW + mps] = bss
+                    # homopolymer rank counted from the run END (the scalar
+                    # loop walks k descending; the run's last base stores
+                    # nothing), capped at 255
+                    idx = np.arange(n)
+                    is_end = np.empty(n, bool)
+                    is_end[-1] = True
+                    is_end[:-1] = bss[:-1] != bss[1:]
+                    ends_rev = np.where(is_end[::-1], idx[::-1], n)
+                    run_end = np.minimum.accumulate(ends_rev)[::-1]
+                    val = np.minimum(run_end - idx, 255)
+                    mask = run_end != idx
+                    mats0[bss[mask], HW + mps[mask]] = val[mask]
             else:
                 for i in range(qe, qb, -1):
                     vi = g.cut_rdnode(rid, i - 1, 3)
