@@ -13,7 +13,7 @@ reference's SSE default build) because band anchors and steering depend on it.
 """
 from __future__ import annotations
 
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
 import numpy as np
 

@@ -1594,12 +1594,12 @@ class BSPOA:
         mats0 = np.zeros((4, pad), np.uint8)
         mats1 = np.zeros((4, pad), np.int64)  # counts; stored u1i in C
         # base offsets: logical index i maps to buffer [HW + i]
-        for pos in range(mlen):
-            col = self.msacols[self.msaidxs[pos]]
-            seqs1[HW + mlen - 1 - pos] = col[nall]
-            for rid in range(nseq):
-                if col[rid] < 4:
-                    mats1[col[rid], HW + pos] += 1
+        order = np.asarray(self.msaidxs, np.int64)
+        mat = self.msacols[order]
+        seqs1[HW:HW + mlen] = mat[::-1, nall]
+        sub = mat[:, :nseq]
+        for b in range(4):
+            mats1[b, HW:HW + mlen] = (sub == b).sum(axis=1)
         np.minimum(mats1, 255, out=mats1)  # u1i semantics (counts < nseq < 255)
         if hpadjust:
             if NR.available():
@@ -2096,12 +2096,12 @@ class BSPOA:
         SMIN = -(0xFFFFFFFF >> 2)
         bcnts = np.zeros((mlen, 5), np.int64)
         seqs1 = np.full(mlen + 2 * HW, 4, np.uint8)
-        for pos in range(mlen):
-            col = self.msacols[self.msaidxs[pos]]
-            seqs1[HW + pos] = col[nall]
-            for rid in range(nall):
-                if col[rid] < 4:
-                    bcnts[pos, col[rid]] += 1
+        order = np.asarray(self.msaidxs, np.int64)
+        mat = self.msacols[order]
+        seqs1[HW:HW + mlen] = mat[:, nall]
+        sub = mat[:, :nall]
+        for b in range(4):
+            bcnts[:, b] = (sub == b).sum(axis=1)
 
         if NR.available():
             cnt = np.ascontiguousarray(bcnts[:, :4])
