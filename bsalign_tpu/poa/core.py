@@ -273,41 +273,53 @@ class BSPOA:
         ksize = self.par.ksz
         kmask = MAX_U4 >> ((16 - ksize) << 1)
         mincnt = 1 if self.par.refmode else max(2, int(nseq * 0.05))
-        khash: Dict[int, int] = {}
-        for ridx in range(nseq):
-            seq = self.seqs[ridx]
-            kmer = 0
-            for i in range(len(seq)):
-                kmer = ((kmer << 2) | int(seq[i])) & kmask
-                if i + 1 < ksize:
-                    continue
-                val = khash.get(kmer)
-                if val is not None:
-                    if ((val >> 16) & 0x7FFF) == ridx + 1:
-                        val |= 1 << 31
-                    else:
-                        val = (val & 0x8000FFFF) | ((ridx + 1) << 16)
-                    khash[kmer] = val + 1
-                else:
-                    khash[kmer] = ((ridx + 1) << 16) | 1
-            if self.par.refmode:
-                break
+
+        def read_kmers(seq):
+            m = len(seq) - ksize + 1
+            if m <= 0:
+                return np.zeros(0, np.int64)
+            win = np.lib.stride_tricks.sliding_window_view(
+                np.asarray(seq, np.int64), ksize)
+            wf = (4 ** np.arange(ksize - 1, -1, -1)).astype(np.int64)
+            return win @ wf
+
+        # occurrence hash semantics (bspoa.h:1003-1100): per kmer, total
+        # count across reads + a sticky "repeated within one read" flag
+        # (rid-field comparison in the scalar loop <=> per-(kmer, read)
+        # multiplicity >= 2, since reads are scanned one at a time)
+        rk = [read_kmers(self.seqs[r])
+              for r in range(1 if self.par.refmode else nseq)]
+        if rk and sum(len(k) for k in rk):
+            K = np.concatenate(rk)
+            R = np.concatenate([np.full(len(k), r, np.int64)
+                                for r, k in enumerate(rk)])
+            order = np.lexsort((R, K))
+            Ks, Rs = K[order], R[order]
+            newk = np.empty(len(Ks), bool)
+            newk[0] = True
+            newk[1:] = Ks[1:] != Ks[:-1]
+            starts = np.flatnonzero(newk)
+            cnts = np.diff(np.append(starts, len(Ks)))
+            samepair = np.zeros(len(Ks), bool)
+            samepair[1:] = (Ks[1:] == Ks[:-1]) & (Rs[1:] == Rs[:-1])
+            rep = np.add.reduceat(samepair, starts) > 0
+            good = (~rep) & (cnts >= mincnt)
+            qual = Ks[starts[good]]          # sorted qualifying kmers
+        else:
+            qual = np.zeros(0, np.int64)
         logv = math.log(1.2)
         kords = np.zeros(nseq, np.float32)
         kords[0] = np.float32(3e38)
         kidxs = [0]
         for ridx in range(1, nseq):
             seq = self.seqs[ridx]
-            kmer = 0
-            khit = 0
-            for i in range(len(seq)):
-                kmer = ((kmer << 2) | int(seq[i])) & kmask
-                if i + 1 < ksize:
-                    continue
-                val = khash.get(kmer)
-                if val is not None and (val & 0x80000000) == 0 \
-                        and (val & 0xFFFF) >= mincnt:
-                    khit += 1
+            ks = read_kmers(seq)
+            if len(ks) and len(qual):
+                pos = np.searchsorted(qual, ks)
+                pos = np.minimum(pos, len(qual) - 1)
+                khit = int((qual[pos] == ks).sum())
+            else:
+                khit = 0
             # C float semantics: log(0) = -inf, 0/-inf = -0.0 (an empty
             # read can reach here on keep_seqs re-runs)
             with np.errstate(divide="ignore", invalid="ignore"):
