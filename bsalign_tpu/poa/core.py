@@ -1207,45 +1207,53 @@ class BSPOA:
 
     def _cns_forward_py(self, sc, btm, lbm, bs, cols, mlen, nseq, dptable,
                         dpvals, min_freq_calq):
-        """NumPy fallback of the HMM-consensus forward scan."""
+        """NumPy fallback of the HMM-consensus forward scan.
+
+        Vectorized over the 5x5 (cur-state x prev-state) grid and all reads;
+        positions stay sequential.  Float semantics match the scalar
+        reference exactly: per-read event log-probs are accumulated in read
+        order (np.cumsum is a strict running sum), and the 5-value
+        log-sum-exp / argmax stay scalar so math.exp/math.log (libm) are
+        used, keeping byte parity with the native cns_forward."""
+        dptab = np.asarray(dptable, np.int64)
+        dpv = np.asarray(dpvals, np.float64)
+        ar = np.arange(5, dtype=np.int64).reshape(5, 1, 1)      # a axis
         for pos in range(mlen):
             qs = cols[pos]
-            cnts = [0] * 6
-            rbs = []
-            for rid in range(nseq):
-                b = int(qs[rid])
-                if b > 4:
-                    continue
-                cnts[5] += 1
-                cnts[b] += 1
-                rbs.append((rid, b))
-            for i in range(5):
-                if cnts[i] < int(min_freq_calq * cnts[5]):
-                    cnts[i] = 0
+            b = np.asarray(qs[:nseq], np.int64)
+            valid = b <= 4
+            nvalid = int(valid.sum())
+            bc = np.minimum(b, 4)
+            cnts = np.bincount(bc[valid], minlength=5) if nvalid else \
+                np.zeros(5, np.int64)
+            thr = int(min_freq_calq * nvalid)
+            dead = (cnts < thr) | (cnts == 0) if nvalid else \
+                np.zeros(5, bool)
             dpos = pos + 1
-            errs = [0.0] * 10
+            prev5 = sc[:, dpos - 1, 5]                          # [5] by e
+            c_prev = lbm[:, dpos - 1].astype(np.int64)          # [5] by e
+            d_prev = bs[0:5].astype(np.int64)                   # [5, nseq]
+            dead_e = np.zeros(5, bool) if nvalid == 0 else \
+                (prev5 == MIN_LOGVAL)
+            # tot[a, e] = sum over valid reads of event log-probs, in
+            # read order (cumsum running sum == reference's += loop).
+            idx = (ar + bc[None, None, :] * 5
+                   + c_prev[None, :, None] * 25
+                   + d_prev[None, :, :] * 125)                  # [5,5,nseq]
+            ev = dpv[dptab[idx] >> 3]
+            ev[:, :, ~valid] = 0.0
+            tot = np.cumsum(ev, axis=2)[:, :, -1] if nseq else \
+                np.zeros((5, 5))
             for a in range(5):
-                if cnts[5] and cnts[a] == 0:
+                if dead[a]:
                     sc[a, dpos, :] = MIN_LOGVAL
                     btm[a, dpos] = 4
                     lbm[a, dpos] = 4
                     bs[a + 5, :] = 0
                     continue
-                for e in range(5):
-                    c = int(lbm[e, dpos - 1])
-                    if cnts[5] and sc[e, dpos - 1, 5] == MIN_LOGVAL:
-                        sc[a, dpos, e] = MIN_LOGVAL
-                        errs[e] = MIN_LOGVAL
-                    else:
-                        tot = 0.0
-                        base_i = a + c * 25
-                        for rid, b in rbs:
-                            d = int(bs[e, rid])
-                            tot += dpvals[dptable[base_i + b * 5 + d * 125] >> 3]
-                        sc[a, dpos, e] = tot
-                        errs[e] = tot + sc[e, dpos - 1, 5]
-                    errs[e + 5] = errs[e]
-                sc[a, dpos, 5] = sum_log_nums(errs[5:10])
+                errs = np.where(dead_e, MIN_LOGVAL, tot[a] + prev5)
+                sc[a, dpos, :5] = np.where(dead_e, MIN_LOGVAL, tot[a])
+                sc[a, dpos, 5] = sum_log_nums([float(x) for x in errs])
                 bt = 4
                 for e in range(4):
                     if errs[e] > errs[bt]:
@@ -1253,13 +1261,8 @@ class BSPOA:
                 btm[a, dpos] = bt
                 lb_prev = int(lbm[bt, dpos - 1])
                 lbm[a, dpos] = a if a < 4 else lb_prev
-                for rid in range(nseq):
-                    b = int(qs[rid])
-                    if b > 4:
-                        bs[a + 5, rid] = 4
-                        continue
-                    f = dptable[a + b * 5 + lb_prev * 25 + int(bs[bt, rid]) * 125]
-                    bs[a + 5, rid] = f & 0x7
+                idx2 = a + bc * 5 + lb_prev * 25 + d_prev[bt] * 125
+                bs[a + 5, :] = np.where(valid, dptab[idx2] & 0x7, 4)
             bs[0:5] = bs[5:10]
         return sc, btm, lbm
 

@@ -198,7 +198,7 @@ def _cal_rd_lsp_score(g: BSPOA, lsp: Lsp) -> float:
             continue
         if a >= 4 and b >= 4:
             continue
-        f = g.dptable[a + b * 5 + c * 25 + d * 125]
+        f = int(g.dptable[a + b * 5 + c * 25 + d * 125])
         scr += g.dpvals[f >> 3]
         d = f & 0x7
         if col[nall] < 4:
