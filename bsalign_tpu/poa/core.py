@@ -70,9 +70,10 @@ class BSPOAPar:
 
 def gen_dptable(par: BSPOAPar):
     """Event table: (cur cns, cur read, last cns base, last state) -> event
-    (bspoa.h:142-204)."""
-    os_ = [1 - par.psub, par.psub, par.pins, par.pdel, par.piex, par.pdex,
-           par.hins, par.hdel]
+    (bspoa.h:142-204). `1 - psub` is float32 arithmetic in C (int promotes
+    to float, not double), so compute it at float32 before the log."""
+    os_ = [float(np.float32(1) - np.float32(par.psub)), par.psub, par.pins,
+           par.pdel, par.piex, par.pdex, par.hins, par.hdel]
     ps = [math.log(x) for x in os_]
     table = np.zeros(5 * 5 * 5 * 5, dtype=np.uint8)
     for i in range(5 ** 4):

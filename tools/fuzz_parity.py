@@ -126,6 +126,8 @@ def main():
     gen_pairs(fa2, 4, (40, 90), 0.25, a.seed + 1)
     fam = "/tmp/fuzz_msa.fa"
     gen_msa(fam, 8, 300, 0.12, a.seed + 2)
+    fam2 = "/tmp/fuzz_msa_big.fa"
+    gen_msa(fam2, 12, 500, 0.15, a.seed + 43)  # caught the f32 dptable bug
 
     align_cfgs = [
         ("align glob W128", ["-m", "global", "-W", "128"]),
@@ -141,6 +143,7 @@ def main():
         ("edit global full", ["-m", "global", "-W", "0"]),
         ("edit global W64", ["-m", "global", "-W", "64"]),
         ("edit overlap", ["-m", "overlap"]),
+        ("edit extend", ["-m", "extend"]),
         ("edit kmer k13", ["-m", "kmer", "-k", "13"]),
     ]
     poa_cfgs = [
@@ -163,6 +166,11 @@ def main():
         ok &= check(name + " (short)", "edit", args, fa2)
     for name, args in poa_cfgs:
         ok &= check(name, "poa", args, fam)
+        if not a.quick:
+            ok &= check(name + " (big)", "poa", args, fam2)
+    if a.quick:
+        ok &= check("poa default (big)", "poa", [], fam2)
+    ok &= check("poa colorful", "poa", ["-C"], fam)
     ok &= check("cat W256", "cat", ["-W", "256"], fac)
     print("ALL PARITY OK" if ok else "PARITY FAILURES")
     return 0 if ok else 1
