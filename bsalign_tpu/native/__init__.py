@@ -153,6 +153,15 @@ def rowops_lib():
                                      ctypes.c_int, ctypes.c_int,
                                      ctypes.c_void_p]
         lib.bsa_edit_row.restype = None
+        lib.bsa_edit_align.argtypes = [
+            ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p, ctypes.c_long,
+            ctypes.c_long, ctypes.c_long, ctypes.c_void_p, ctypes.c_long,
+            ctypes.c_void_p]
+        lib.bsa_edit_align.restype = ctypes.c_long
+        lib.bsa_kmer_edit.argtypes = [
+            ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p, ctypes.c_long,
+            ctypes.c_long, ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p]
+        lib.bsa_kmer_edit.restype = ctypes.c_long
         lib.bsa8_backcal.argtypes = [
             ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p, ctypes.c_long,
             ctypes.c_void_p, ctypes.c_void_p,

@@ -13,6 +13,7 @@
 //
 // Build: g++ -O3 -shared -fPIC rowops.cpp -o librowops.so  (see build.py)
 
+#include <algorithm>
 #include <cmath>
 #include <cstdint>
 #include <cstring>
@@ -2688,4 +2689,347 @@ extern "C" void bsa_hp_adjust(long mlen, const uint8_t *cnsrow, int64_t *cnt,
             }
         }
     }
+}
+
+// ---- full 2-bit edit alignment + kmer-guided driver ----
+// C++ port of oracle/edit.py edit_pairwise + kmer_edit_pairwise (themselves
+// byte-exact vs the reference bsalign.h:1046-1536). One native call replaces
+// the Python segment loop + per-cell backtrace, which dominates POA's
+// prepare_rd_align band placement (read<->cns alignment, bspoa.h:2087-2097).
+typedef uint32_t u4;
+
+struct EditRS {
+    i64 qb, qe, tb, te, mat, mis, ins, del_, aln, score;
+};
+
+static inline void cig_push(std::vector<u4> &cg, int op, i64 sz) {
+    if (sz <= 0) return;
+    if (!cg.empty() && (int)(cg.back() & 0xF) == op)
+        cg.back() += (u4)(sz << 4);
+    else
+        cg.push_back((u4)((sz << 4) | op));
+}
+
+static long select_bandwidth_c(long qlen, long tlen, int modetype,
+                               long bandwidth) {
+    const long qro = ((qlen + 63) / 64) * 64;
+    if (modetype == 1 || modetype == 2) return qro;   // overlap/extend
+    bandwidth = ((bandwidth + 63) / 64) * 64;
+    if (bandwidth == 0 || bandwidth > qlen) bandwidth = qro;
+    if (bandwidth < qlen) {
+        const long k = (qlen + tlen - 1) / tlen + 1;
+        if (bandwidth < k) bandwidth = ((k + 63) / 64) * 64;
+    }
+    return bandwidth;
+}
+
+// Walks uts rows backward from (x, y); priority match > I > D > mismatch
+// (oracle/edit.edit_backtrace, bsalign.h:965-1044). Cigars are appended in
+// walk order then reversed by the caller.
+static void edit_backtrace_c(const i8 *uts, const i64 *begs, long bandwidth,
+                             const uint8_t *qseq, long x,
+                             const uint8_t *tseq, long y, int modetype,
+                             std::vector<u4> &cg, EditRS &rs) {
+    rs.qe = x + 1;
+    rs.te = y + 1;
+    rs.mat = rs.mis = rs.ins = rs.del_ = 0;
+    while (x >= 0 && y >= 0) {
+        int op;
+        if (qseq[x] == tseq[y]) {
+            rs.mat++; op = 0; x--; y--;
+        } else {
+            const int u_cur = uts[(y + 1) * bandwidth + (x - begs[y + 1])];
+            if (u_cur == 1) {
+                rs.ins++; op = 1; x--;
+            } else {
+                const int u_prev = uts[y * bandwidth + (x - begs[y])];
+                if (u_prev == -1) {
+                    rs.del_++; op = 2; y--;
+                } else {
+                    rs.mis++; op = 0; x--; y--;
+                }
+            }
+        }
+        cig_push(cg, op, 1);
+    }
+    rs.qb = x + 1;
+    rs.tb = y + 1;
+    if (rs.qb) {
+        cig_push(cg, 1, rs.qb);
+        rs.ins += rs.qb;
+        rs.qb = 0;
+    }
+    if ((modetype == 0 || modetype == 2) && rs.tb) {
+        cig_push(cg, 2, rs.tb);
+        rs.del_ += rs.tb;
+        rs.tb = 0;
+    }
+    rs.aln = rs.mat + rs.mis + rs.ins + rs.del_;
+}
+
+// edit_pairwise: forward rows + backtrace + mode scoring; cigars appended
+// to cg already-reversed (i.e. in alignment order).
+static void edit_align_c(const uint8_t *qseq, long qlen, const uint8_t *tseq,
+                         long tlen, int modetype, long bandwidth,
+                         std::vector<u4> &cg, EditRS &rs) {
+    memset(&rs, 0, sizeof(rs));
+    if (qlen == 0 || tlen == 0) return;
+    bandwidth = select_bandwidth_c(qlen, tlen, modetype, bandwidth);
+    const int is_overlap = modetype == 1, is_extend = modetype == 2;
+    thread_local std::vector<i8> uts_v;
+    thread_local std::vector<i64> begs_v;
+    uts_v.resize((tlen + 1) * bandwidth);
+    begs_v.resize(tlen + 1);
+    i64 out[4];
+    bsa_edit_forward(qseq, qlen, tseq, tlen, bandwidth, is_overlap,
+                     is_extend, uts_v.data(), begs_v.data(), out);
+    const i64 smin = out[0], sbeg = out[3];
+    const long rx = out[1], ry = out[2];
+    std::vector<u4> rev;
+    edit_backtrace_c(uts_v.data(), begs_v.data(), bandwidth, qseq, rx, tseq,
+                     ry, modetype, rev, rs);
+    for (size_t k = rev.size(); k-- > 0;) {
+        cig_push(cg, rev[k] & 0xF, rev[k] >> 4);
+    }
+    if (is_overlap) {
+        rs.score = smin + rs.te - rs.tb;
+    } else if (is_extend) {
+        rs.score = smin;
+    } else {
+        const i8 *u_last = uts_v.data() + tlen * bandwidth;
+        const long rbeg0 = begs_v[tlen];
+        i64 score = sbeg;
+        for (long k = 0; k < bandwidth; k++) score += u_last[k];
+        for (long k = rbeg0 + bandwidth; k > qlen; k--)
+            score -= u_last[k - 1 - rbeg0];
+        rs.score = score;
+    }
+}
+
+// Unique-kmer 1:1 matching + LIS chaining + outlier filter
+// (oracle/edit._kmer_chain, bsalign.h:1219-1434). Returns false when the
+// chain coverage is too small to trust.
+static bool kmer_chain_c(const uint8_t *qseq, long qlen, const uint8_t *tseq,
+                         long tlen, int ksz,
+                         std::vector<std::pair<i64, i64>> &chain) {
+    const long lmin = qlen < tlen ? qlen : tlen;
+    long cmin = (long)(lmin * 0.05 + 1);
+    if (cmin > 2 * ksz) cmin = 2 * ksz;
+    const i64 kmk = ((i64)1 << (2 * ksz)) - 1;
+    const int sft = (ksz - 1) * 2;
+    struct KEnt { i64 val; i64 off; int dir; int flg; };
+    std::vector<KEnt> ents;
+    const long mq = qlen - ksz + 1, mt = tlen - ksz + 1;
+    ents.reserve((mq > 0 ? mq : 0) + (mt > 0 ? mt : 0));
+    for (int which = 0; which < 2; which++) {
+        const uint8_t *seq = which ? tseq : qseq;
+        const long len = which ? tlen : qlen;
+        i64 kf = 0, kr = 0;
+        for (long i = 0; i < len; i++) {
+            const i64 b = seq[i];
+            kf = ((kf << 2) | b) & kmk;
+            kr = (kr >> 2) | ((3 - b) << sft);
+            if (i + 1 < ksz) continue;
+            const int dir = kr < kf;
+            ents.push_back({dir ? kr : kf, i - ksz + 1, dir, which});
+        }
+    }
+    // stable sort by kmer value (q entries precede t entries on ties,
+    // matching the combined-array stable sort in the oracle)
+    std::stable_sort(ents.begin(), ents.end(),
+                     [](const KEnt &a, const KEnt &b) { return a.val < b.val; });
+    const long n = (long)ents.size();
+    std::vector<std::pair<i64, i64>> khits;
+    for (long i = 0; i + 1 < n;) {
+        long j = i + 1;
+        while (j < n && ents[j].val == ents[i].val) j++;
+        if (j - i == 2 && ents[i].flg != ents[i + 1].flg &&
+            ents[i].dir == ents[i + 1].dir) {
+            khits.push_back({ents[i].off, ents[i + 1].off});
+        }
+        i = j;
+    }
+    if ((long)khits.size() * ksz < cmin) return false;
+    std::stable_sort(khits.begin(), khits.end(),
+                     [](const std::pair<i64, i64> &a,
+                        const std::pair<i64, i64> &b) {
+                         return a.first < b.first;
+                     });
+    const long kcnt = (long)khits.size();
+    // LIS over target offsets, exact linking rule incl.
+    // predecessor-of-predecessor (bsalign.h:1285-1330)
+    std::vector<long> lis0(kcnt, 0), lis1(kcnt, -1);
+    long xlen = 1;
+    for (long i = 1; i < kcnt; i++) {
+        const i64 t_i = khits[i].second;
+        const long e = xlen - 1;
+        if (t_i > khits[lis0[e]].second) {
+            lis1[i] = lis0[e];
+            lis0[xlen] = i;
+            xlen++;
+        } else if (t_i <= khits[lis0[0]].second) {
+            lis1[i] = -1;
+            lis0[0] = i;
+        } else {
+            long lo = 0, hi = xlen;
+            while (lo < hi) {
+                const long mid = lo + ((hi - lo) >> 1);
+                if (t_i > khits[lis0[mid]].second) {
+                    lo = mid + 1;
+                } else if (t_i < khits[lis0[mid]].second) {
+                    hi = mid;
+                } else {
+                    lo = mid;
+                    break;
+                }
+            }
+            lis1[i] = lis1[lis0[lo - 1]];
+            lis0[lo] = i;
+        }
+    }
+    std::vector<char> flags(kcnt, 0);
+    i64 cov = 0;
+    i64 e_off = -1;
+    int have_e = 0;
+    long m = lis0[xlen - 1];
+    while (m >= 0) {
+        flags[m] = 1;
+        const i64 toff = khits[m].second;
+        if (!have_e || toff + ksz <= e_off) cov += ksz;
+        else cov += e_off - toff;
+        e_off = toff;
+        have_e = 1;
+        m = lis1[m];
+    }
+    if (cov < cmin) return false;
+    // iterative mean/median outlier filter (bsalign.h:1346-1393)
+    thread_local std::vector<i64> deltas;
+    while (true) {
+        deltas.clear();
+        for (long i = 0; i < kcnt; i++)
+            if (flags[i]) deltas.push_back(khits[i].first - khits[i].second);
+        const long e = (long)deltas.size();
+        if (e * ksz < cmin) break;
+        i64 tot = 0;
+        for (i64 d : deltas) tot += d;
+        const i64 mean = tot / e;   // C trunc division == oracle c_div
+        std::nth_element(deltas.begin(), deltas.begin() + e / 2,
+                         deltas.end());
+        const i64 median = deltas[e / 2];
+        i64 var = (median > mean ? median - mean : mean - median) * 3;
+        if (var < 50) var = 50;
+        long removed = 0;
+        for (long i = 0; i < kcnt; i++) {
+            if (!flags[i]) continue;
+            const i64 delta = khits[i].first - khits[i].second;
+            const i64 ad = delta > mean ? delta - mean : mean - delta;
+            if (ad > var) {
+                flags[i] = 0;
+                removed++;
+            }
+        }
+        if (removed == 0) break;
+    }
+    chain.clear();
+    for (long i = 0; i < kcnt; i++)
+        if (flags[i]) chain.push_back(khits[i]);
+    // coverage over target offsets with overlap dedup (bsalign.h:1402-1415)
+    i64 mcov = 0, e2 = 0;
+    for (auto &p : chain) {
+        const i64 toff = p.second;
+        if (toff >= e2 + ksz) mcov += ksz;
+        else mcov += toff + ksz - e2;
+        e2 = toff + ksz;
+    }
+    if (mcov < cmin) return false;
+    return true;
+}
+
+extern "C" long bsa_edit_align(const uint8_t *qseq, long qlen,
+                               const uint8_t *tseq, long tlen, long modetype,
+                               long bandwidth, u4 *cigars, long cap,
+                               i64 *rs_out) {
+    std::vector<u4> cg;
+    EditRS rs;
+    edit_align_c(qseq, qlen, tseq, tlen, (int)modetype, bandwidth, cg, rs);
+    if ((long)cg.size() > cap) return -1;
+    memcpy(cigars, cg.data(), cg.size() * sizeof(u4));
+    memcpy(rs_out, &rs, sizeof(rs));
+    return (long)cg.size();
+}
+
+// kmer_striped_seqedit_pairwise (oracle/edit.kmer_edit_pairwise,
+// bsalign.h:1209-1536): segmented edit alignment guided by kmer synteny.
+extern "C" long bsa_kmer_edit(const uint8_t *qseq, long qlen,
+                              const uint8_t *tseq, long tlen, long ksz,
+                              u4 *cigars, long cap, i64 *rs_out) {
+    if (ksz > 15) ksz = 15;
+    std::vector<std::pair<i64, i64>> chain;
+    if (!kmer_chain_c(qseq, qlen, tseq, tlen, (int)ksz, chain)) {
+        return bsa_edit_align(qseq, qlen, tseq, tlen, 0, 0, cigars, cap,
+                              rs_out);
+    }
+    EditRS RS;
+    memset(&RS, 0, sizeof(RS));
+    std::vector<u4> cg;
+    i64 qb = 0, tb = 0, ml = 0;
+    int mode = 3;   // KMER sentinel for the first segment
+    const long kmap = (long)chain.size();
+    thread_local std::vector<uint8_t> rq_v, rt_v;
+    for (long i = 0; i <= kmap; i++) {
+        i64 qe, te;
+        if (i == kmap) {
+            qe = qlen; te = tlen; mode = 2;   // EXTEND tail
+        } else {
+            qe = chain[i].first + ksz / 2;
+            te = chain[i].second + ksz / 2;
+            ml++;
+        }
+        if (!(qb == qe && tb == te)) {
+            if (ml) {
+                cig_push(cg, 0, ml);
+                RS.mat += ml;
+                RS.aln += ml;
+                ml = 0;
+            }
+            EditRS rs2;
+            if (mode == 3) {
+                // first segment: reversed prefixes, EXTEND. The oracle
+                // appends cg2 then reverses the WHOLE list (no run
+                // merging): [M_ml, cg2...] -> [rev(cg2)..., M_ml]
+                rq_v.resize(qe); rt_v.resize(te);
+                for (long k = 0; k < qe; k++) rq_v[k] = qseq[qe - 1 - k];
+                for (long k = 0; k < te; k++) rt_v[k] = tseq[te - 1 - k];
+                std::vector<u4> cg2;
+                edit_align_c(rq_v.data() + qb, qe - qb, rt_v.data() + tb,
+                             te - tb, 2, 0, cg2, rs2);
+                cg.insert(cg.end(), cg2.begin(), cg2.end());
+                std::reverse(cg.begin(), cg.end());
+                RS.qb = qe - rs2.qe;
+                RS.tb = te - rs2.te;
+                RS.qe = qe;
+                RS.te = te;
+            } else {
+                std::vector<u4> cg2;
+                edit_align_c(qseq + qb, qe - qb, tseq + tb, te - tb, mode, 0,
+                             cg2, rs2);
+                for (u4 c : cg2) cig_push(cg, c & 0xF, c >> 4);
+                RS.qe = qb + rs2.qe;
+                RS.te = tb + rs2.te;
+            }
+            RS.mat += rs2.mat;
+            RS.mis += rs2.mis;
+            RS.ins += rs2.ins;
+            RS.del_ += rs2.del_;
+            RS.aln += rs2.aln;
+            RS.score += rs2.score;
+        }
+        qb = qe + 1;
+        tb = te + 1;
+        mode = 0;   // GLOBAL for middle segments
+    }
+    if ((long)cg.size() > cap) return -1;
+    memcpy(cigars, cg.data(), cg.size() * sizeof(u4));
+    memcpy(rs_out, &RS, sizeof(RS));
+    return (long)cg.size();
 }

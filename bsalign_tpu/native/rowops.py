@@ -441,6 +441,45 @@ def edit_forward(qseq, tseq, bandwidth, is_overlap, is_extend):
     return uts, begs, int(out[0]), int(out[1]), int(out[2]), int(out[3])
 
 
+def _edit_rs(out):
+    from ..cigar import AlnResult
+    rs = AlnResult()
+    (rs.qb, rs.qe, rs.tb, rs.te, rs.mat, rs.mis, rs.ins, rs.dele, rs.aln,
+     rs.score) = (int(v) for v in out)
+    return rs
+
+
+def edit_align(qseq, tseq, modetype, bandwidth):
+    """Full native edit_pairwise (forward + backtrace + mode scoring);
+    returns (AlnResult, cigars list)."""
+    qc = np.ascontiguousarray(qseq, np.uint8)
+    tc = np.ascontiguousarray(tseq, np.uint8)
+    cap = len(qc) + len(tc) + 16
+    cg = np.empty(cap, np.uint32)
+    out = np.zeros(10, np.int64)
+    n = rowops_lib().bsa_edit_align(qc.ctypes.data, len(qc), tc.ctypes.data,
+                                    len(tc), modetype, bandwidth,
+                                    cg.ctypes.data, cap, out.ctypes.data)
+    if n < 0:
+        raise RuntimeError("native edit_align cigar overflow")
+    return _edit_rs(out), cg[:n].tolist()
+
+
+def kmer_edit(ksz, qseq, tseq):
+    """Full native kmer_edit_pairwise; returns (AlnResult, cigars list)."""
+    qc = np.ascontiguousarray(qseq, np.uint8)
+    tc = np.ascontiguousarray(tseq, np.uint8)
+    cap = len(qc) + len(tc) + 16
+    cg = np.empty(cap, np.uint32)
+    out = np.zeros(10, np.int64)
+    n = rowops_lib().bsa_kmer_edit(qc.ctypes.data, len(qc), tc.ctypes.data,
+                                   len(tc), ksz, cg.ctypes.data, cap,
+                                   out.ctypes.data)
+    if n < 0:
+        raise RuntimeError("native kmer_edit cigar overflow")
+    return _edit_rs(out), cg[:n].tolist()
+
+
 def msanode_cns_merges(g, msacols, msaidxs_arr, mlen, mrow, nall, nseq,
                        ndoffs_arr, cnsnode0):
     from ..poa.graph import ND_MPOS

@@ -101,7 +101,7 @@ def _lanes_dn(x, k):
 
 @functools.lru_cache(maxsize=64)
 def _get_call(T, W, mode, piecewise, gapo1, gape1, gapo2, gape2, nt_max,
-              nt_min, BL, Rs, NCH, Tp, NB, uniform_mtx, interpret):
+              nt_min, BL, Rs, NCH, Tp, NB, uniform_mtx, interpret, S=1):
     BW = W * WS
     GapE = gape1
     GapOE = gapo1 + gape1
@@ -458,27 +458,24 @@ def _get_call(T, W, mode, piecewise, gapo1, gape1, gapo2, gape2, nt_max,
         @pl.when(tc == 0)
         def _init():
             inits = (i_us, i_es, i_qs)
-            for sp, ip in zip(s_planes, inits):
-                sp[:] = jnp.broadcast_to(ip[:][:, :, None], (W, WS, BL))
-            s_ub[:] = jnp.broadcast_to(i_ub[:][:WS + 1], (WS + 1, BL))
-            s_reg[:] = jnp.concatenate([
-                jnp.zeros((2, BL), I32),
-                jnp.full((1, BL), 1 << 28, I32),
-                jnp.full((1, BL), SCORE_MIN, I32),
-                jnp.zeros((4, BL), I32)], axis=0)
+            for s in range(S):
+                for sp, ip in zip(s_planes, inits):
+                    sp[s] = jnp.broadcast_to(ip[:][:, :, None], (W, WS, BL))
+                s_ub[s] = jnp.broadcast_to(i_ub[:][:WS + 1], (WS + 1, BL))
+                s_reg[s] = jnp.concatenate([
+                    jnp.zeros((2, BL), I32),
+                    jnp.full((1, BL), 1 << 28, I32),
+                    jnp.full((1, BL), SCORE_MIN, I32),
+                    jnp.zeros((4, BL), I32)], axis=0)
 
-        qlen_v = qltz[0, 0:1]
-        tlen_v = qltz[0, 1:2]
-        rbz_v = qltz[0, 2:3]
-
-        def refresh_win(rbeg_v):
+        def refresh_win(s, rbeg_v):
             ci = rbeg_v // C_CHUNK                           # (1, BL)
             off = rbeg_v - ci * C_CHUNK
             # gather enough consecutive chunks to cover off + W*SLANES codes
             G = -(-(W * SLANES + C_CHUNK - 1) // C_CHUNK)
             accs = [jnp.zeros((C_CHUNK, BL), I32) for _ in range(G)]
             for k in range(NCH):
-                ck = qch[0, k]
+                ck = qch[s, k]
                 for g in range(G):
                     if k >= g:
                         accs[g] = jnp.where(ci == k - g, ck, accs[g])
@@ -491,15 +488,18 @@ def _get_call(T, W, mode, piecewise, gapo1, gape1, gapo2, gape2, nt_max,
             win = gbuf[:W * SLANES]
             return jnp.transpose(win.reshape(SLANES, W, BL), (1, 0, 2))
 
-        for r in range(Rs):
+        def row_step(s, r):
             i = tc * Rs + r                                  # traced scalar
-            tbase = tseq[0, 0, r:r + 1]                      # (1, BL)
-            rby_i = rby[0, 0, r:r + 1]
-            rbeg = s_reg[REG_RBEG:REG_RBEG + 1]
-            mov = s_reg[REG_MOV:REG_MOV + 1]
-            macc = s_reg[REG_MACC:REG_MACC + 1]
-            planes = [sp[:] for sp in s_planes]
-            ub = s_ub[:]
+            qlen_v = qltz[s, 0:1]
+            tlen_v = qltz[s, 1:2]
+            rbz_v = qltz[s, 2:3]
+            tbase = tseq[s, 0, r:r + 1]                      # (1, BL)
+            rby_i = rby[s, 0, r:r + 1]
+            rbeg = s_reg[s, REG_RBEG:REG_RBEG + 1]
+            mov = s_reg[s, REG_MOV:REG_MOV + 1]
+            macc = s_reg[s, REG_MACC:REG_MACC + 1]
+            planes = [sp[s] for sp in s_planes]
+            ub = s_ub[s]
             active = i < tlen_v                              # (1, BL)
 
             cond_move = (mov > 0) & (rbeg + BW < qlen_v)
@@ -550,14 +550,14 @@ def _get_call(T, W, mode, piecewise, gapo1, gape1, gapo2, gape2, nt_max,
 
             @pl.when(jnp.logical_not(trig))
             def _shift_win():
-                s_win[:] = plane_shift_fast(s_win[:], mov_eff)
+                s_win[s] = plane_shift_fast(s_win[s], mov_eff)
 
             @pl.when(trig)
             def _refresh():
-                s_win[:] = refresh_win(rbeg_n)
+                s_win[s] = refresh_win(s, rbeg_n)
 
             macc_n = jnp.where(trig, 0, macc_n)
-            qp, qlast = qprof_from_win(s_win[:], tbase, mtx5)
+            qp, qlast = qprof_from_win(s_win[s], tbase, mtx5)
 
             us1, es1, qs1, ub1 = row_cal(qp, qlast, us0, es0, qs0, ub0, rh)
             new_planes = [p for p in (us1, es1, qs1) if p is not None]
@@ -580,50 +580,56 @@ def _get_call(T, W, mode, piecewise, gapo1, gape1, gapo2, gape2, nt_max,
 
             # --- best-end tracking (bsalign.h:4023-4032) ---
             if mt != MODE_GLOBAL:
-                best_s = s_reg[REG_BS:REG_BS + 1]
+                best_s = s_reg[s, REG_BS:REG_BS + 1]
                 reach = rbeg_n + BW >= qlen_v
                 sc = getscore_general(
                     us1, ub1, jnp.maximum(qlen_v - 1 - rbeg_n, 0))
                 upd = active & reach & (sc > best_s)
-                s_reg[REG_BS:REG_BS + 1] = jnp.where(upd, sc, best_s)
-                s_reg[REG_BQE:REG_BQE + 1] = jnp.where(
-                    upd, qlen_v - 1, s_reg[REG_BQE:REG_BQE + 1])
-                s_reg[REG_BTE:REG_BTE + 1] = jnp.where(
-                    upd, i, s_reg[REG_BTE:REG_BTE + 1])
+                s_reg[s, REG_BS:REG_BS + 1] = jnp.where(upd, sc, best_s)
+                s_reg[s, REG_BQE:REG_BQE + 1] = jnp.where(
+                    upd, qlen_v - 1, s_reg[s, REG_BQE:REG_BQE + 1])
+                s_reg[s, REG_BTE:REG_BTE + 1] = jnp.where(
+                    upd, i, s_reg[s, REG_BTE:REG_BTE + 1])
 
             # --- stage per-row outputs ---
             for po, p1 in zip(pl_outs, new_planes):
-                po[0, r] = p1.astype(jnp.int8)
-            ub_o[0, r] = jnp.concatenate(
+                po[s, r] = p1.astype(jnp.int8)
+            ub_o[s, r] = jnp.concatenate(
                 [ub1, jnp.zeros((UBR - WS - 1, BL), I32)], axis=0)
-            begs_o[0, r:r + 1] = rbeg_n
+            begs_o[s, r:r + 1] = rbeg_n
             # --- freeze inactive pairs, write back state ---
             am = active[None]
             for sp, old, new in zip(s_planes, planes, new_planes):
-                sp[:] = jnp.where(am, new, old)
-            s_ub[:] = jnp.where(active, ub1, ub)
-            s_reg[REG_RBEG:REG_RBEG + 1] = jnp.where(active, rbeg_n, rbeg)
-            s_reg[REG_MOV:REG_MOV + 1] = jnp.where(active, mov_n, mov)
-            s_reg[REG_MACC:REG_MACC + 1] = macc_n
+                sp[s] = jnp.where(am, new, old)
+            s_ub[s] = jnp.where(active, ub1, ub)
+            s_reg[s, REG_RBEG:REG_RBEG + 1] = jnp.where(active, rbeg_n, rbeg)
+            s_reg[s, REG_MOV:REG_MOV + 1] = jnp.where(active, mov_n, mov)
+            s_reg[s, REG_MACC:REG_MACC + 1] = macc_n
+
+        for r in range(Rs):
+            for s in range(S):
+                row_step(s, r)
 
         # final-state outputs (revisited block; last chunk's write wins)
-        fin_us_o[0] = s_us[:]
-        fin_ub_o[0] = jnp.concatenate(
-            [s_ub[:], jnp.zeros((UBR - WS - 1, BL), I32)], axis=0)
-        scal_o[0] = jnp.concatenate([
-            s_reg[REG_BS:REG_BS + 1], s_reg[REG_BQE:REG_BQE + 1],
-            s_reg[REG_BTE:REG_BTE + 1], s_reg[REG_RBEG:REG_RBEG + 1],
-            jnp.zeros((4, BL), I32)], axis=0)
+        for s in range(S):
+            fin_us_o[s] = s_us[s]
+            fin_ub_o[s] = jnp.concatenate(
+                [s_ub[s], jnp.zeros((UBR - WS - 1, BL), I32)], axis=0)
+            scal_o[s] = jnp.concatenate([
+                s_reg[s, REG_BS:REG_BS + 1], s_reg[s, REG_BQE:REG_BQE + 1],
+                s_reg[s, REG_BTE:REG_BTE + 1],
+                s_reg[s, REG_RBEG:REG_RBEG + 1],
+                jnp.zeros((4, BL), I32)], axis=0)
 
     vm = pltpu.VMEM
     in_specs = [
-        pl.BlockSpec((1, NCH, C_CHUNK, BL), lambda b, tc: (b, 0, 0, 0),
+        pl.BlockSpec((S, NCH, C_CHUNK, BL), lambda b, tc: (b, 0, 0, 0),
                      memory_space=vm),
-        pl.BlockSpec((1, 1, Rs, BL), lambda b, tc: (b, tc, 0, 0),
+        pl.BlockSpec((S, 1, Rs, BL), lambda b, tc: (b, tc, 0, 0),
                      memory_space=vm),
-        pl.BlockSpec((1, 1, Rs, BL), lambda b, tc: (b, tc, 0, 0),
+        pl.BlockSpec((S, 1, Rs, BL), lambda b, tc: (b, tc, 0, 0),
                      memory_space=vm),
-        pl.BlockSpec((1, 8, BL), lambda b, tc: (b, 0, 0),
+        pl.BlockSpec((S, 8, BL), lambda b, tc: (b, 0, 0),
                      memory_space=vm),                       # qlen/tlen/rbz
         pl.BlockSpec(memory_space=pltpu.SMEM),               # mtx5 [8,4]
         pl.BlockSpec(memory_space=vm),                       # init us
@@ -632,7 +638,7 @@ def _get_call(T, W, mode, piecewise, gapo1, gape1, gapo2, gape2, nt_max,
         pl.BlockSpec(memory_space=vm),                       # init ub [24,1]
     ]
     plane_shape = jax.ShapeDtypeStruct((NB, Tp, W, WS, BL), jnp.int8)
-    plane_spec = pl.BlockSpec((1, Rs, W, WS, BL),
+    plane_spec = pl.BlockSpec((S, Rs, W, WS, BL),
                               lambda b, tc: (b, tc, 0, 0, 0), memory_space=vm)
     out_shape = [plane_shape] * n_pl + [
         jax.ShapeDtypeStruct((NB, Tp, UBR, BL), I32),
@@ -642,22 +648,22 @@ def _get_call(T, W, mode, piecewise, gapo1, gape1, gapo2, gape2, nt_max,
         jax.ShapeDtypeStruct((NB, 8, BL), I32),
     ]
     out_specs = [plane_spec] * n_pl + [
-        pl.BlockSpec((1, Rs, UBR, BL), lambda b, tc: (b, tc, 0, 0),
+        pl.BlockSpec((S, Rs, UBR, BL), lambda b, tc: (b, tc, 0, 0),
                      memory_space=vm),
-        pl.BlockSpec((1, Rs, BL), lambda b, tc: (b, tc, 0), memory_space=vm),
-        pl.BlockSpec((1, W, WS, BL), lambda b, tc: (b, 0, 0, 0),
+        pl.BlockSpec((S, Rs, BL), lambda b, tc: (b, tc, 0), memory_space=vm),
+        pl.BlockSpec((S, W, WS, BL), lambda b, tc: (b, 0, 0, 0),
                      memory_space=vm),
-        pl.BlockSpec((1, UBR, BL), lambda b, tc: (b, 0, 0), memory_space=vm),
-        pl.BlockSpec((1, 8, BL), lambda b, tc: (b, 0, 0), memory_space=vm),
+        pl.BlockSpec((S, UBR, BL), lambda b, tc: (b, 0, 0), memory_space=vm),
+        pl.BlockSpec((S, 8, BL), lambda b, tc: (b, 0, 0), memory_space=vm),
     ]
-    scratch = [pltpu.VMEM((W, WS, BL), I32) for _ in range(n_pl)] + [
-        pltpu.VMEM((WS + 1, BL), I32),                       # s_ub
-        pltpu.VMEM((W, SLANES, BL), I32),                    # s_win
-        pltpu.VMEM((8, BL), I32),                            # s_reg
+    scratch = [pltpu.VMEM((S, W, WS, BL), I32) for _ in range(n_pl)] + [
+        pltpu.VMEM((S, WS + 1, BL), I32),                    # s_ub
+        pltpu.VMEM((S, W, SLANES, BL), I32),                 # s_win
+        pltpu.VMEM((S, 8, BL), I32),                         # s_reg
     ]
     call = pl.pallas_call(
         kernel,
-        grid=(NB, TC),
+        grid=(NB // S, TC),
         in_specs=in_specs,
         out_shape=out_shape,
         out_specs=out_specs,
@@ -670,9 +676,14 @@ def _get_call(T, W, mode, piecewise, gapo1, gape1, gapo2, gape2, nt_max,
 def make_forward(T: int, W: int, mode: int, piecewise: int, gapo1: int,
                  gape1: int, gapo2: int, gape2: int, nt_max: int, nt_min: int,
                  jit: bool = True, *, BL: int = 128, Rs: int = 16,
-                 interpret=None):
+                 S: int = 4, interpret=None):
     """Drop-in replacement for banded8_jax.make_forward using the Pallas
-    kernel. Same call signature and ForwardResult contract."""
+    kernel. Same call signature and ForwardResult contract.
+
+    S = interleaved batch streams per grid step: rows of S independent
+    BL-pair blocks alternate in the instruction stream, giving the VPU
+    independent dependency chains to overlap (the striped row recurrence
+    alone is latency-bound at ~0.4 native ops/cycle; S=4 reaches ~2/cycle)."""
     BW = W * WS
     mt = mode_type(mode)
     if interpret is None:
@@ -688,7 +699,7 @@ def make_forward(T: int, W: int, mode: int, piecewise: int, gapo1: int,
         mtx5 = np.asarray(mtx5, np.int32)
         rby = np.asarray(rby, np.int32)
         B, QP = qpad.shape
-        Bp = -(-B // BL) * BL
+        Bp = -(-B // (BL * S)) * (BL * S)
         NB = Bp // BL
         Tp = -(-T // Rs) * Rs
         off_mask = ~np.eye(4, dtype=bool)
@@ -727,7 +738,7 @@ def make_forward(T: int, W: int, mode: int, piecewise: int, gapo1: int,
 
         call = _get_call(T, W, mode, piecewise, gapo1, gape1, gapo2, gape2,
                          nt_max, nt_min, BL, Rs, NCH, Tp, NB, uniform,
-                         bool(interpret))
+                         bool(interpret), S)
         qltz = np.zeros((NB, 8, BL), np.int32)
         qltz[:, 0] = ql_f.reshape(NB, BL)
         qltz[:, 1] = tl_f.reshape(NB, BL)

@@ -114,27 +114,12 @@ def edit_pairwise(qseq: np.ndarray, tseq: np.ndarray, mode: int,
     qlen, tlen = len(qseq), len(tseq)
     if qlen == 0 or tlen == 0:
         return AlnResult(), []
+    from ..native import rowops as _NR
+    if _NR.available():
+        return _NR.edit_align(qseq, tseq, mode_type(mode), bandwidth)
     bandwidth = _select_bandwidth(qlen, tlen, mode, bandwidth)
     is_overlap = mode_type(mode) == MODE_OVERLAP
     is_extend = mode_type(mode) == MODE_EXTEND
-    from ..native import rowops as _NR
-    if _NR.available():
-        uts, begs_a, smin, rx, ry, sbeg = _NR.edit_forward(
-            qseq, tseq, bandwidth, is_overlap, is_extend)
-        begs = [int(b) for b in begs_a]
-        rbeg0 = begs[tlen]
-        rs, cigars = edit_backtrace(uts, begs, qseq, rx, tseq, ry, mode)
-        if is_overlap:
-            rs.score = smin + rs.te - rs.tb
-        elif is_extend:
-            rs.score = smin
-        else:
-            u_last = uts[tlen]
-            score = sbeg + int(np.sum(u_last))
-            for k in range(rbeg0 + bandwidth, qlen, -1):
-                score -= int(u_last[k - 1 - rbeg0])
-            rs.score = score
-        return rs, cigars
     uts = np.empty((tlen + 1, bandwidth), dtype=np.int8)
     uts[0] = 1  # row_init: u=+1 everywhere (bsalign.h:653-656)
     begs = [0] * (tlen + 1)
@@ -351,6 +336,9 @@ def kmer_edit_pairwise(ksz: int, qseq: np.ndarray, tseq: np.ndarray,
     """bsalign.h:1209-1536: segmented edit alignment guided by kmer synteny."""
     if ksz > 15:
         ksz = 15
+    from ..native import rowops as _NR
+    if _NR.available():
+        return _NR.kmer_edit(ksz, qseq, tseq)
     qlen, tlen = len(qseq), len(tseq)
     chain = _kmer_chain(qseq, tseq, ksz)
     if not chain:

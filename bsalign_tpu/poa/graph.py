@@ -25,20 +25,20 @@ _EDGE_GROW = 4096
 
 
 class Node:
-    __slots__ = ("g", "idx", "ref", "aux", "colorful", "pos")
+    """Pure view over the graph's SoA arrays — nodes hold no Python state,
+    so bulk node creation is array writes and `g.nodes[i]` materializes a
+    2-slot view on demand."""
+
+    __slots__ = ("g", "idx")
 
     def __init__(self, g: "Graph", idx: int, rid: int, pos: int, base: int):
         self.g = g
         self.idx = idx
-        self.ref = 0
-        self.aux = 0
-        self.colorful = 0
-        self.pos = pos
         a = g._nd
         i = idx
         for f in (ND_RDC, ND_RDD, ND_NIN, ND_NOU, ND_EDGE, ND_EREV,
                   ND_INUSE, ND_BONUS, ND_VST, ND_NCT, ND_MPOS, ND_RPOS,
-                  ND_MMIDX, ND_CPOS, ND_BLESS):
+                  ND_MMIDX, ND_CPOS, ND_BLESS, ND_REF, ND_AUX, ND_COLOR):
             a[f][i] = 0
         a[ND_RID][i] = rid
         a[ND_COV][i] = 1
@@ -46,14 +46,17 @@ class Node:
         a[ND_PREV][i] = i
         a[ND_HEADER][i] = i
         a[ND_BASE][i] = base
+        a[ND_POS][i] = pos
 
 
 (ND_RID, ND_COV, ND_RDC, ND_RDD, ND_NIN, ND_NOU, ND_EDGE, ND_EREV,
  ND_NEXT, ND_PREV, ND_HEADER, ND_BASE, ND_MPOS, ND_VST, ND_NCT, ND_INUSE,
- ND_BONUS, ND_RPOS, ND_MMIDX, ND_CPOS, ND_BLESS) = range(21)
+ ND_BONUS, ND_RPOS, ND_MMIDX, ND_CPOS, ND_BLESS, ND_POS, ND_REF, ND_AUX,
+ ND_COLOR) = range(25)
 _ND_FIELDS = ("rid", "cov", "rdc", "rdd", "nin", "nou", "edge", "erev",
               "next", "prev", "header", "base", "mpos", "vst", "nct",
-              "inuse", "bonus", "rpos", "mmidx", "cpos", "bless")
+              "inuse", "bonus", "rpos", "mmidx", "cpos", "bless", "pos",
+              "ref", "aux", "colorful")
 
 (ED_NODE, ED_COV, ED_VST, ED_NEXT) = range(4)
 
@@ -114,6 +117,39 @@ class _EdgesView:
         return self.g._elen
 
 
+class _NodesView:
+    """Lazy list of Node views: indexing materializes a (g, idx) pair;
+    nothing is stored per node."""
+
+    __slots__ = ("g", "_n")
+
+    def __init__(self, g: "Graph"):
+        self.g = g
+        self._n = 0
+
+    def __len__(self) -> int:
+        return self._n
+
+    def __getitem__(self, idx: int) -> Node:
+        v = Node.__new__(Node)
+        v.g = self.g
+        v.idx = idx + self._n if idx < 0 else idx
+        return v
+
+    def __iter__(self):
+        for i in range(self._n):
+            yield self[i]
+
+    def __delitem__(self, sl) -> None:
+        # only tail truncation is used (del nodes[k:])
+        if not (isinstance(sl, slice) and sl.stop is None and sl.step is None):
+            raise TypeError("only `del nodes[k:]` is supported")
+        start = sl.start
+        if start < 0:
+            start += self._n
+        self._n = min(self._n, max(0, start))
+
+
 class Graph:
     """Node/edge store with the reference's exact list disciplines."""
 
@@ -122,8 +158,8 @@ class Graph:
     MOVONE = 0xE1F0
 
     def __init__(self):
-        self.nodes: List[Node] = []
-        self._nd = [np.zeros(_NODE_GROW, np.int32) for _ in range(21)]
+        self.nodes = _NodesView(self)
+        self._nd = [np.zeros(_NODE_GROW, np.int32) for _ in range(25)]
         self._ed = [np.zeros(_EDGE_GROW, np.int32) for _ in range(4)]
         # estate: [0]=edge count (idx 0/1 reserved), [1]=recycle-stack size,
         # [2]=edge capacity, [3]=error flag — shared with librowops
@@ -165,24 +201,24 @@ class Graph:
 
     # --- nodes ---
     def new_node(self, rid: int, pos: int, base: int) -> int:
-        idx = len(self.nodes)
+        idx = self.nodes._n
         self._encap_nodes()
-        self.nodes.append(None)
-        self.nodes[idx] = Node(self, idx, rid, pos, base)
+        Node(self, idx, rid, pos, base)
+        self.nodes._n = idx + 1
         return idx
 
     def new_nodes_bulk(self, rid: int, pos0: int, bases) -> int:
         """Append len(bases) nodes with consecutive positions; returns the
-        first index. Array fields set vectorized; objects stay light."""
+        first index. Pure array writes — no per-node Python objects."""
         n = len(bases)
-        i0 = len(self.nodes)
+        i0 = self.nodes._n
         while i0 + n >= len(self._nd[0]):
             self._encap_nodes_to(i0 + n + 1)
         nd = self._nd
         sl = slice(i0, i0 + n)
         for f in (ND_RDC, ND_RDD, ND_NIN, ND_NOU, ND_EDGE, ND_EREV,
                   ND_INUSE, ND_BONUS, ND_VST, ND_NCT, ND_MPOS, ND_RPOS,
-                  ND_MMIDX, ND_CPOS, ND_BLESS):
+                  ND_MMIDX, ND_CPOS, ND_BLESS, ND_REF, ND_AUX, ND_COLOR):
             nd[f][sl] = 0
         nd[ND_RID][sl] = rid
         nd[ND_COV][sl] = 1
@@ -191,17 +227,8 @@ class Graph:
         nd[ND_PREV][sl] = idxs
         nd[ND_HEADER][sl] = idxs
         nd[ND_BASE][sl] = bases
-        mk = Node.__new__
-        nodes = self.nodes
-        for k in range(n):
-            v = mk(Node)
-            v.g = self
-            v.idx = i0 + k
-            v.ref = 0
-            v.aux = 0
-            v.colorful = 0
-            v.pos = pos0 + k
-            nodes.append(v)
+        nd[ND_POS][sl] = pos0 + np.arange(n, dtype=np.int32)
+        self.nodes._n = i0 + n
         return i0
 
     def _encap_nodes_to(self, n: int) -> None:
