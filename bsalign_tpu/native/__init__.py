@@ -162,6 +162,21 @@ def rowops_lib():
             ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p, ctypes.c_long,
             ctypes.c_long, ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p]
         lib.bsa_kmer_edit.restype = ctypes.c_long
+        lib.bsa_qprof4.argtypes = [
+            ctypes.c_void_p, ctypes.c_long, ctypes.c_long, ctypes.c_long,
+            ctypes.c_long, ctypes.c_long,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p]
+        lib.bsa_qprof4.restype = None
+        lib.bsa_simple_cns.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long, ctypes.c_long,
+            ctypes.c_long, ctypes.c_long, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p]
+        lib.bsa_simple_cns.restype = ctypes.c_long
+        lib.bsa_mask_lead_tail.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long, ctypes.c_long,
+            ctypes.c_long]
+        lib.bsa_mask_lead_tail.restype = None
         lib.bsa8_backcal.argtypes = [
             ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p, ctypes.c_long,
             ctypes.c_void_p, ctypes.c_void_p,

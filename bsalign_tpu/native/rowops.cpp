@@ -3033,3 +3033,137 @@ extern "C" long bsa_kmer_edit(const uint8_t *qseq, long qlen,
     memcpy(rs_out, &RS, sizeof(RS));
     return (long)cg.size();
 }
+
+// ---- query-profile builds (bsalign.h:2166-2221 / oracle/banded8.py) ----
+// All four POA profiles ({M, M+refbonus} x {hpc, plain}) in one call.
+// Layout per profile: [xlen+1, 4(tbase), WSZ] int8.
+extern "C" void bsa_qprof4(const uint8_t *qsub, long slen, long bandwidth,
+                           long M, long X, long refbonus,
+                           i8 *hpc0, i8 *hpc1, i8 *pl0, i8 *pl1) {
+    const long W = bandwidth / WSZ;
+    const long xlen = slen > bandwidth ? slen : bandwidth;
+    i8 m0[5][4], m1[5][4];
+    for (int q = 0; q < 5; q++)
+        for (int t = 0; t < 4; t++) {
+            if (q >= 4) {
+                m0[q][t] = m1[q][t] = (i8)SCORE_EPI8_MIN;
+            } else {
+                m0[q][t] = (i8)(q == t ? M : X);
+                m1[q][t] = (i8)(q == t ? M + refbonus : X);
+            }
+        }
+    for (long x = 0; x <= xlen; x++) {
+        for (long j = 0; j < WSZ; j++) {
+            const long pos = x + j * W;
+            const long o = (x * 4) * WSZ + j;
+            if (pos >= slen) {
+                for (int t = 0; t < 4; t++)
+                    hpc0[o + t * WSZ] = hpc1[o + t * WSZ] =
+                        pl0[o + t * WSZ] = pl1[o + t * WSZ] =
+                            (i8)SCORE_EPI8_MIN;
+                continue;
+            }
+            const int qv = qsub[pos];
+            const int bon =
+                (pos + 1 < slen && qsub[pos] != qsub[pos + 1]) ? 1 : 0;
+            for (int t = 0; t < 4; t++) {
+                // hpc values wrap like the C b1i store
+                hpc0[o + t * WSZ] = (i8)(m0[qv][t] + bon);
+                hpc1[o + t * WSZ] = (i8)(m1[qv][t] + bon);
+                pl0[o + t * WSZ] = m0[qv][t];
+                pl1[o + t * WSZ] = m1[qv][t];
+            }
+        }
+    }
+}
+
+// ---- simple consensus (bspoa.h:3312-3388 / poa/core.simple_cns) ----
+// Lead/tail gap masking + majority vote with first-seen-rank tie-break +
+// per-read cpos writeback. Returns cns length; writes bsel per column.
+extern "C" long bsa_simple_cns(
+    uint8_t *msacols /*[ncols, mrow]*/, const i64 *msaidxs, long mlen,
+    long mrow, long nseq, long nall, i32 *cpos /*node CPOS array*/,
+    const i64 *ndoffs, uint8_t *cns_out /*[mlen]*/) {
+    // mask leading/trailing gaps (cols 0 / >=1) to 5 per read
+    for (long r = 0; r < nseq; r++) {
+        long first = mlen, last = -1;
+        for (long p = 0; p < mlen; p++) {
+            if (msacols[msaidxs[p] * mrow + r] < 4) { first = p; break; }
+        }
+        for (long p = mlen - 1; p >= 0; p--) {
+            if (msacols[msaidxs[p] * mrow + r] < 4) { last = p; break; }
+        }
+        for (long p = 0; p < first && p < mlen; p++) {
+            uint8_t &c = msacols[msaidxs[p] * mrow + r];
+            if (c == 4) c = 5;
+        }
+        if (last >= 0)
+            for (long p = last + 1; p < mlen; p++) {
+                if (p < 1) continue;
+                uint8_t &c = msacols[msaidxs[p] * mrow + r];
+                if (c == 4) c = 5;
+            }
+        else
+            for (long p = 1; p < mlen; p++) {
+                uint8_t &c = msacols[msaidxs[p] * mrow + r];
+                if (c == 4) c = 5;
+            }
+    }
+    long clen = 0;
+    for (long p = 0; p < mlen; p++) {
+        uint8_t *col = msacols + msaidxs[p] * mrow;
+        long cnt[5] = {0, 0, 0, 0, 0};
+        long rank[5] = {0xFFFF, 0xFFFF, 0xFFFF, 0xFFFF, 0xFFFF};
+        for (long r = 0; r < nseq; r++) {
+            const int b = col[r];
+            if (b <= 4) {
+                if (cnt[b] == 0) rank[b] = r;
+                cnt[b]++;
+            }
+        }
+        int bsel = 4;
+        for (int i = 0; i < 4; i++) {
+            if (cnt[i] > cnt[bsel]) bsel = i;
+            else if (cnt[i] && cnt[i] == cnt[bsel] &&
+                     (rank[i] < rank[bsel] || bsel == 4)) bsel = i;
+        }
+        col[nall] = (uint8_t)bsel;
+        col[nall + 1] = 0;
+        cns_out[p] = (uint8_t)bsel;
+        if (bsel < 4) clen++;
+    }
+    // per-read cpos: cns position before the read base's column
+    for (long r = 0; r < nseq; r++) {
+        long cp = 0, k = 0;
+        const long off = ndoffs[r];
+        for (long p = 0; p < mlen; p++) {
+            const uint8_t *col = msacols + msaidxs[p] * mrow;
+            const int b = col[r];
+            if (b != 4 && b != 5) cpos[off + k++] = (i32)cp;
+            if (col[nall] < 4) cp++;
+        }
+    }
+    return clen;
+}
+
+// ---- lead/tail gap masking (bspoa.h:3215-3234, the msa_bspoa 4->5 edge
+// trim; shared by msa and simple_cns) ----
+extern "C" void bsa_mask_lead_tail(uint8_t *msacols, const i64 *msaidxs,
+                                   long mlen, long mrow, long nseq) {
+    for (long r = 0; r < nseq; r++) {
+        long first = mlen, last = -1;
+        for (long p = 0; p < mlen; p++)
+            if (msacols[msaidxs[p] * mrow + r] < 4) { first = p; break; }
+        for (long p = mlen - 1; p >= 0; p--)
+            if (msacols[msaidxs[p] * mrow + r] < 4) { last = p; break; }
+        for (long p = 0; p < first && p < mlen; p++) {
+            uint8_t &c = msacols[msaidxs[p] * mrow + r];
+            if (c == 4) c = 5;
+        }
+        const long tail0 = (last >= 0 ? last + 1 : 1);
+        for (long p = tail0 < 1 ? 1 : tail0; p < mlen; p++) {
+            uint8_t &c = msacols[msaidxs[p] * mrow + r];
+            if (c == 4) c = 5;
+        }
+    }
+}

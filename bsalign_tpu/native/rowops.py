@@ -465,6 +465,30 @@ def edit_align(qseq, tseq, modetype, bandwidth):
     return _edit_rs(out), cg[:n].tolist()
 
 
+def qprof4(qsub, slen, bandwidth, M, X, refbonus):
+    """All four POA query profiles ({M, M+refbonus} x {hpc, plain}) in one
+    native call; each [xlen+1, 4, WS] int8."""
+    qc = np.ascontiguousarray(qsub, np.uint8)
+    xlen = max(slen, bandwidth)
+    outs = [np.empty((xlen + 1, 4, WS), np.int8) for _ in range(4)]
+    rowops_lib().bsa_qprof4(qc.ctypes.data, slen, bandwidth, M, X, refbonus,
+                            outs[0].ctypes.data, outs[1].ctypes.data,
+                            outs[2].ctypes.data, outs[3].ctypes.data)
+    return outs
+
+
+def simple_cns(msacols, msaidxs_arr, mlen, mrow, nseq, nall, cpos_arr,
+               ndoffs_arr):
+    """Native majority-vote consensus; returns per-column bsel [mlen]
+    (filter <4 for the cns string). Mutates msacols + node cpos in place."""
+    bsel = np.empty(mlen, np.uint8)
+    rowops_lib().bsa_simple_cns(
+        msacols.ctypes.data, msaidxs_arr.ctypes.data, mlen, mrow, nseq,
+        nall, cpos_arr.ctypes.data, ndoffs_arr.ctypes.data,
+        bsel.ctypes.data)
+    return bsel
+
+
 def kmer_edit(ksz, qseq, tseq):
     """Full native kmer_edit_pairwise; returns (AlnResult, cigars list)."""
     qc = np.ascontiguousarray(qseq, np.uint8)

@@ -676,14 +676,15 @@ def _get_call(T, W, mode, piecewise, gapo1, gape1, gapo2, gape2, nt_max,
 def make_forward(T: int, W: int, mode: int, piecewise: int, gapo1: int,
                  gape1: int, gapo2: int, gape2: int, nt_max: int, nt_min: int,
                  jit: bool = True, *, BL: int = 128, Rs: int = 16,
-                 S: int = 4, interpret=None):
+                 S: int = 1, interpret=None):
     """Drop-in replacement for banded8_jax.make_forward using the Pallas
     kernel. Same call signature and ForwardResult contract.
 
-    S = interleaved batch streams per grid step: rows of S independent
-    BL-pair blocks alternate in the instruction stream, giving the VPU
-    independent dependency chains to overlap (the striped row recurrence
-    alone is latency-bound at ~0.4 native ops/cycle; S=4 reaches ~2/cycle)."""
+    S = interleaved batch streams per grid step (rows of S independent
+    BL-pair blocks alternate in the instruction stream). Measured on
+    v5e: the toy row-recurrence POC gains 2.4x from S=4, but the full
+    kernel loses ~10% at S=2 (larger VMEM working set + per-row
+    control flow outweigh the extra chain ILP), so the default stays 1."""
     BW = W * WS
     mt = mode_type(mode)
     if interpret is None:

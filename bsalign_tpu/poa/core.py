@@ -255,13 +255,17 @@ class BSPOA:
             g.nodes[g.HEAD].cpos = 0
             g.TAIL = g.ndoffs[rid] + length
             g.nodes[g.TAIL].cpos = length
-            for i in range(length):
-                v = g.nodes[g.rdnode(0, i)]
-                v.ref = 1
-                v.bless = 1
-                v.cpos = i
-                g.connect_rdnode(0, i)
-            g.connect_rdnode(0, length)
+            from .graph import ND_BLESS, ND_CPOS, ND_REF
+            base0 = g.ndoffs[0]
+            g._nd[ND_REF][base0:base0 + length] = 1
+            g._nd[ND_BLESS][base0:base0 + length] = 1
+            g._nd[ND_CPOS][base0:base0 + length] = np.arange(
+                length, dtype=np.int32)
+            if g._native is not None:
+                NR.g_connect_range(g, 0, 0, length)
+            else:
+                for i in range(length + 1):
+                    g.connect_rdnode(0, i)
         else:
             g.merge_nodes(g.HEAD, g.rdnode(rid, -1))
             g.merge_nodes(g.TAIL, g.rdnode(rid, length))
@@ -346,11 +350,12 @@ class BSPOA:
         shuffle_array(self.g.ndoffs, ords)
         shuffle_array(self.cigars, ords)
         g = self.g
+        from .graph import ND_RID
+        RID = g._nd[ND_RID]
         for i in range(nseq):
             v = g.rdnode(i, -1)
             ve = g.rdnode(i, self.rdlen(i))
-            for nidx in range(v, ve + 1):
-                g.nodes[nidx].rid = i
+            RID[v:ve + 1] = i
 
     # ------------------------------------------------------------ alignment
     def sel_nodes(self, nhead: int, ntail: int, ridxbeg: int, ridxend: int):
@@ -555,14 +560,22 @@ class BSPOA:
         else:
             nd[ND_RPOS][sarr] = 0
         qsub = self.qseq[self.qb:self.qe]
-        mtx0 = B8.set_score_matrix(par.M, par.X)
-        mtx1 = B8.set_score_matrix(par.M + par.refbonus, par.X)
-        self.qprof[0] = B8.set_query_prof_hpc(qsub, self.slen, self.bandwidth,
-                                              mtx0, 1)
-        self.qprof[1] = B8.set_query_prof_hpc(qsub, self.slen, self.bandwidth,
-                                              mtx1, 1)
-        self.qprof[2] = B8.set_query_prof(qsub, self.slen, self.bandwidth, mtx0)
-        self.qprof[3] = B8.set_query_prof(qsub, self.slen, self.bandwidth, mtx1)
+        if NR.available():
+            h0, h1, p0, p1 = NR.qprof4(qsub, self.slen, self.bandwidth,
+                                       par.M, par.X, par.refbonus)
+            self.qprof[0], self.qprof[1] = h0, h1
+            self.qprof[2], self.qprof[3] = p0, p1
+        else:
+            mtx0 = B8.set_score_matrix(par.M, par.X)
+            mtx1 = B8.set_score_matrix(par.M + par.refbonus, par.X)
+            self.qprof[0] = B8.set_query_prof_hpc(qsub, self.slen,
+                                                  self.bandwidth, mtx0, 1)
+            self.qprof[1] = B8.set_query_prof_hpc(qsub, self.slen,
+                                                  self.bandwidth, mtx1, 1)
+            self.qprof[2] = B8.set_query_prof(qsub, self.slen,
+                                              self.bandwidth, mtx0)
+            self.qprof[3] = B8.set_query_prof(qsub, self.slen,
+                                              self.bandwidth, mtx1)
         self.piecewise = B8.get_piecewise(par.O, par.E, par.Q, par.P,
                                           self.bandwidth)
         self.rows = {}
@@ -1094,9 +1107,12 @@ class BSPOA:
         msacols = self.msacols
         msaidxs = self.msaidxs
         if g._native is not None:
-            NR.msa_fill(g, msacols, np.asarray(msaidxs, np.int64), mlen,
-                        mrow_lim)
-            self._mask_lead_tail_gaps(nseq)
+            midx = np.asarray(msaidxs, np.int64)
+            NR.msa_fill(g, msacols, midx, mlen, mrow_lim)
+            if mlen and nseq and isinstance(msacols, np.ndarray):
+                NR.rowops_lib().bsa_mask_lead_tail(
+                    msacols.ctypes.data, midx.ctypes.data, mlen, mrow_lim,
+                    nseq)
             return mlen
         stack = [g.HEAD]
         nidx = g.HEAD
@@ -1163,6 +1179,19 @@ class BSPOA:
         self.cns = []
         self.qlt = []
         self.alt = []
+        from .graph import ND_CPOS
+        if NR.available() and isinstance(self.msacols, np.ndarray):
+            midx = np.asarray(self.msaidxs, np.int64)
+            ndo = np.asarray(g.ndoffs, np.int64)
+            bsel = NR.simple_cns(self.msacols, midx, mlen,
+                                 self.msacols.shape[1], nseq, nall,
+                                 g._nd[ND_CPOS], ndo)
+            self.cns = bsel[bsel < 4].astype(np.uint8)
+            self.qlt = np.zeros(len(self.cns), np.uint8)
+            self.alt = np.zeros(len(self.cns), np.uint8)
+            g.nodes[g.HEAD].cpos = 0
+            g.nodes[g.TAIL].cpos = len(self.cns)
+            return
         self._mask_lead_tail_gaps(nseq)
         # vectorized majority vote with the reference's first-seen-rank
         # tie-break (bsalign bspoa.h:3337-3360)
@@ -1433,8 +1462,11 @@ class BSPOA:
                         rps[rid] += 1
         u = g.new_node(nall, clen, 4)
         g.merge_nodes(u, g.TAIL)
-        for i in range(clen + 1):
-            g.connect_rdnode(nall, i)
+        if g._native is not None:
+            NR.g_connect_range(g, nall, 0, clen)
+        else:
+            for i in range(clen + 1):
+                g.connect_rdnode(nall, i)
         self.rdregs0.append(0)
         self.rdregs1.append(clen)
         from .graph import ND_MPOS
