@@ -1,0 +1,274 @@
+"""Pallas TPU kernel for the batched remsa pedit profile DP.
+
+The reference's remsa_pedits realigns each read against the MSA
+column base-count profile with an anti-diagonal unsigned-8-bit max-match
+DP (/root/reference/bspoa.h:3856-3896, driver :3916-4046). The DP is
+embarrassingly parallel across (window, read) jobs and its access
+pattern is uniform: in the forward pass x - y is always 0 or 1, so every
+per-step operand window shifts by exactly one lane on alternating steps.
+
+Kernel layout: jobs on the sublane axis (R per call), band positions on
+the lane axis. Ten operand windows (read/cns base strings + 4+4 per-base
+count planes) live in VMEM scratch and shift one lane per step; the
+values entering at the window edge are precomputed on host into small
+"feed" arrays ([steps/2, R] per plane) block-mapped per grid chunk, so
+the kernel needs no dynamic lane slicing (unsupported unaligned on this
+Mosaic build). Outputs are the same matrix0/matrix1 diagonal planes the
+native driver writes (uint8 u/v difference rows), byte-exact, consumed
+by the existing host traceback (which mutates the POA graph).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+I32 = jnp.int32
+NPL = 10          # seqs0, mats0 x4 (x-planes); seqs1, mats1 x4 (y-planes)
+LW = 128          # lane width
+
+
+@functools.lru_cache(maxsize=16)
+def _get_call(bw, HW, R, Rs, NT, interpret):
+    """Rs = steps per grid chunk (even); NT = number of chunks."""
+    assert Rs % 2 == 0 and bw + 2 <= LW
+    Half = Rs // 2
+
+    def kernel(init_ref, feed_ref, o0_ref, o1_ref, *scratch):
+        wins = scratch[:NPL]
+        prev0, prev1 = scratch[NPL:NPL + 2]
+        tc = pl.program_id(0)
+
+        @pl.when(tc == 0)
+        def _init():
+            for p in range(NPL):
+                wins[p][:] = init_ref[p].astype(I32)
+
+        lane = jax.lax.broadcasted_iota(I32, (R, LW), 1)
+        body_m = (lane >= 1) & (lane < 1 + bw)
+
+        def select4(bases, plane_list):
+            out = jnp.zeros((R, LW), I32)
+            for b in range(4):
+                out = jnp.where(bases == b, plane_list[b], out)
+            return out
+
+        for r in range(Rs):
+            # out row g = tc*Rs + r; row 0 = init diag, row g = step g-1
+            if r == 0:
+                @pl.when(tc == 0)
+                def _seed():
+                    z0 = jnp.where(lane == HW, 255, 0)
+                    z1 = jnp.where(lane == HW + 1, 255, 0)
+                    o0_ref[0] = z0.astype(jnp.uint8)
+                    o1_ref[0] = z1.astype(jnp.uint8)
+                    prev0[:] = z0
+                    prev1[:] = z1
+                # row 0 of chunk tc>0 is step tc*Rs-1 (odd since Rs even)
+                dirn = 1
+                slot = 0
+            else:
+                dirn = (r - 1) & 1
+                slot = (r - 1) // 2 + 1
+            p0 = prev0[:]
+            p1 = prev1[:]
+
+            def _step(r=r, dirn=dirn, slot=slot, p0=p0, p1=p1):
+                w_xseq = wins[0][:]
+                w_xm = [wins[1 + b][:] for b in range(4)]
+                w_yseq = wins[5][:]
+                w_ym = [wins[6 + b][:] for b in range(4)]
+                # xs: read-side counts selected by cns base; ys: cns-side
+                # counts selected by read base (bspoa.h:3856-3896)
+                xs = select4(w_yseq, w_xm)
+                ys = select4(w_xseq, w_ym)
+                h = jnp.minimum(xs + ys, 255)
+                sh_u = 2 if dirn else 1
+                sh_v = 1 if dirn else 0
+                zpad = jnp.zeros((R, 2), I32)
+                pu = jnp.concatenate([p0[:, sh_u:], zpad[:, :sh_u]], axis=1) \
+                    if sh_u else p0
+                pv = jnp.concatenate([p1[:, sh_v:], zpad[:, :sh_v]], axis=1) \
+                    if sh_v else p1
+                h = jnp.maximum(h, pu)
+                h = jnp.maximum(h, pv)
+                # band value for position i lives at lane i; the c-row
+                # stores it at lane 1+i -> shift right one lane
+                d0 = h - pv
+                d1 = h - pu
+                z1 = jnp.zeros((R, 1), I32)
+                c0 = jnp.where(body_m,
+                               jnp.concatenate([z1, d0[:, :LW - 1]], axis=1),
+                               0)
+                c1 = jnp.where(body_m,
+                               jnp.concatenate([z1, d1[:, :LW - 1]], axis=1),
+                               0)
+                # boundary cells (bspoa.h driver edge writes); lanes
+                # outside [1, 1+bw) are already zero via body_m
+                if dirn:
+                    c0 = jnp.where(lane == 0, 255, c0)
+                else:
+                    c1 = jnp.where(lane == 1 + bw, 255, c1)
+                o0_ref[r] = c0.astype(jnp.uint8)
+                o1_ref[r] = c1.astype(jnp.uint8)
+                prev0[:] = c0
+                prev1[:] = c1
+                # post-step window shift + feed insertion
+                if dirn == 0:     # x advanced: x-planes shift left
+                    for p in range(5):
+                        col = feed_ref[0, p, :, slot:slot + 1].astype(I32)
+                        wins[p][:] = jnp.concatenate(
+                            [wins[p][:, 1:], col], axis=1)
+                else:             # y advanced: y-planes shift right
+                    for p in range(5, NPL):
+                        col = feed_ref[0, p, :, slot:slot + 1].astype(I32)
+                        wins[p][:] = jnp.concatenate(
+                            [col, wins[p][:, :-1]], axis=1)
+
+            if r == 0:
+                pl.when(tc > 0)(_step)
+            else:
+                _step()
+
+    vm = pltpu.VMEM
+    in_specs = [
+        pl.BlockSpec((NPL, R, LW), lambda tc: (0, 0, 0), memory_space=vm),
+        pl.BlockSpec((1, NPL, R, Half + 1), lambda tc: (tc, 0, 0, 0),
+                     memory_space=vm),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((NT * Rs, R, LW), jnp.uint8),
+        jax.ShapeDtypeStruct((NT * Rs, R, LW), jnp.uint8),
+    ]
+    out_specs = [
+        pl.BlockSpec((Rs, R, LW), lambda tc: (tc, 0, 0), memory_space=vm),
+        pl.BlockSpec((Rs, R, LW), lambda tc: (tc, 0, 0), memory_space=vm),
+    ]
+    scratch = [pltpu.VMEM((R, LW), I32) for _ in range(NPL + 2)]
+    call = pl.pallas_call(
+        kernel,
+        grid=(NT,),
+        in_specs=in_specs,
+        out_shape=out_shape,
+        out_specs=out_specs,
+        scratch_shapes=scratch,
+        interpret=bool(interpret),
+    )
+    return jax.jit(call)
+
+
+class PeditJob:
+    """One (read, window) realignment job, same operands as
+    core._pedit_rd / native bsa_pedit_forward."""
+
+    __slots__ = ("seqs0", "seqs1", "mats0", "mats1", "mlen", "mbeg", "mend",
+                 "bw", "HW")
+
+    def __init__(self, seqs0, seqs1, mats0, mats1, mlen, mbeg, mend, bw, HW):
+        self.seqs0 = seqs0
+        self.seqs1 = seqs1
+        self.mats0 = mats0
+        self.mats1 = mats1
+        self.mlen = mlen
+        self.mbeg = mbeg
+        self.mend = mend
+        self.bw = bw
+        self.HW = HW
+
+
+def pedit_forward_batch(jobs, Rs=64, interpret=None):
+    """Run the pedit forward DP for a batch of jobs on the TPU; returns
+    per-job (matrix0, matrix1) uint8 arrays identical to the native
+    bsa_pedit_forward layout ([2*mlen+1+1, rowlen] flattened)."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    assert jobs
+    bw = jobs[0].bw
+    HW = jobs[0].HW
+    assert all(j.bw == bw and j.HW == HW for j in jobs)
+    R = max(8, 1 << (len(jobs) - 1).bit_length())
+    nsteps = max(2 * (j.mend - j.mbeg) - 1 for j in jobs)
+    NT = -(-(nsteps + 1) // Rs)
+    Half = Rs // 2
+
+    init = np.zeros((NPL, R, LW), np.uint8)
+    feed = np.zeros((NT, NPL, R, Half + 1), np.uint8)
+    # defaults outside valid range: read-side bases are 4 (the driver's
+    # seqs0[:]=4 refill); cns-side seqs1 buffer defaults to 0
+    init[0] = 4
+    feed[:, 0] = 4
+
+    def xplane(j, p):
+        """x-side raw plane p for job j (index base = raw idx x+i)."""
+        if p == 0:
+            return j.seqs0
+        return j.mats0[p - 1]
+
+    def yplane(j, p):
+        if p == 5:
+            return j.seqs1
+        return j.mats1[p - 6]
+
+    nfeed = NT * Half  # global shift slots
+    for ji, j in enumerate(jobs):
+        pad = len(j.seqs0)
+        s0 = j.mlen - 1 - j.mbeg
+        for p in range(5):
+            pl_ = xplane(j, p)
+            # init window: raw [mbeg, mbeg+LW)
+            lo = j.mbeg
+            hi = min(j.mbeg + LW, pad)
+            if hi > lo:
+                init[p, ji, :hi - lo] = pl_[lo:hi]
+            elif p == 0:
+                pass  # stays 4
+            # feed slot k (global) inserts raw [mbeg + k + LW]
+            idx = j.mbeg + LW + np.arange(nfeed)
+            vals = np.where(idx < pad, pl_[np.minimum(idx, pad - 1)],
+                            4 if p == 0 else 0)
+            for tcb in range(NT):
+                # chunk tcb local slots [0, Half]: global k = tcb*Half-1+sl
+                gk = tcb * Half - 1 + np.arange(Half + 1)
+                ok = (gk >= 0) & (gk < nfeed)
+                feed[tcb, p, ji, ok] = vals[gk[ok]]
+        for p in range(5, NPL):
+            pl_ = yplane(j, p)
+            lo = s0
+            hi = min(s0 + LW, pad)
+            if hi > lo and lo >= 0:
+                init[p, ji, :hi - lo] = pl_[lo:hi]
+            elif lo < 0:
+                lo2 = max(lo, 0)
+                if hi > lo2:
+                    init[p, ji, lo2 - lo:hi - lo] = pl_[lo2:hi]
+            # feed slot k inserts raw [s0 - k - 1]
+            idx = s0 - 1 - np.arange(nfeed)
+            vals = np.where((idx >= 0) & (idx < pad),
+                            pl_[np.clip(idx, 0, pad - 1)], 0)
+            for tcb in range(NT):
+                gk = tcb * Half - 1 + np.arange(Half + 1)
+                ok = (gk >= 0) & (gk < nfeed)
+                feed[tcb, p, ji, ok] = vals[gk[ok]]
+
+    call = _get_call(bw, HW, R, Rs, NT, bool(interpret))
+    o0, o1 = call(jnp.asarray(init), jnp.asarray(feed))
+    o0 = np.asarray(o0)
+    o1 = np.asarray(o1)
+    rowlen = bw + 2
+    outs = []
+    for ji, j in enumerate(jobs):
+        ndiag = 2 * j.mlen + 2
+        m0 = np.zeros(ndiag * rowlen, np.uint8)
+        m1 = np.zeros(ndiag * rowlen, np.uint8)
+        nrows = 2 * (j.mend - j.mbeg)   # init + steps .. diag 2*mbeg+nrows-1
+        base = 2 * j.mbeg
+        rows0 = o0[:nrows, ji, :rowlen]
+        rows1 = o1[:nrows, ji, :rowlen]
+        m0[base * rowlen:(base + nrows) * rowlen] = rows0.ravel()
+        m1[base * rowlen:(base + nrows) * rowlen] = rows1.ravel()
+        outs.append((m0, m1))
+    return outs

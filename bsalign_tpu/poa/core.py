@@ -14,6 +14,7 @@ device engines at a higher level.
 from __future__ import annotations
 
 import math
+import os
 from dataclasses import dataclass
 from typing import Dict, List, Optional, Tuple
 
@@ -1673,6 +1674,49 @@ class BSPOA:
         mats1[:, HW:HW + mlen] = mats1[:, HW:HW + mlen][:, ::-1]
         mats1 = mats1.astype(np.uint8)
 
+        # device batch path: the per-read forward DPs depend only on this
+        # round's MSA profile + each read's own mpos/base, so they are
+        # order-independent — run them as ONE Pallas kernel call over all
+        # reads, then do the (order-sensitive) graph surgery sequentially
+        use_dev = bool(os.environ.get("BSA_PEDIT_DEVICE")) \
+            and g._native is not None
+        dev_jobs = None
+        if use_dev:
+            from ..ops.pedit_pallas import PeditJob, pedit_forward_batch
+            dev_jobs = []
+            dev_spec = []
+            for rid in range(self.nseq):
+                rdlen = self.rdlen(rid)
+                if rdlen == 0:
+                    continue
+                if rid >= nseq:
+                    if not all_:
+                        break
+                    qb, qe = self._remsa_map_noncore(rid, rdlen, mlen)
+                else:
+                    qb, qe = 0, rdlen
+                s0 = np.full(pad, 4, np.uint8)
+                m0 = np.zeros((4, pad), np.uint8)
+                self._remsa_fill_read(rid, qb, qe, s0, m0, HW)
+                mbeg = g.nodes[g.rdnode(rid, qb)].mpos
+                mend = g.nodes[g.rdnode(rid, qe - 1)].mpos + 1
+                dev_jobs.append(PeditJob(s0, seqs1, m0, mats1, mlen, mbeg,
+                                         mend, bandwidth, HW))
+                dev_spec.append((rid, rdlen, qb, qe, mbeg, mend, s0, m0))
+            dev_mats = pedit_forward_batch(dev_jobs) if dev_jobs else []
+            for spec, (mx0, mx1) in zip(dev_spec, dev_mats):
+                rid, rdlen, qb, qe, mbeg, mend, s0, m0 = spec
+                NR.g_cut_range(g, rid, qb, qe, 3)
+                ndoffs_arr = np.asarray(g.ndoffs, np.int64)
+                NR.pedit_traceback(
+                    g, mx0, mx1, s0, seqs1, m0, mats1, ndoffs_arr, mlen,
+                    mbeg, mend, HW, rowlen, rid, self.nseq + 1, qe)
+                NR.g_connect_range(g, rid, 0, rdlen)
+            self.del_msanodes()
+            if all_:
+                self.nrds = self.nseq
+            return
+
         for rid in range(self.nseq):
             rdlen = self.rdlen(rid)
             if rdlen == 0:
@@ -1682,88 +1726,14 @@ class BSPOA:
             if rid >= nseq:
                 if not all_:
                     break
-                self.qlen = self.slen = rdlen
-                self.qb = 0
-                self.qe = rdlen
-                qseq = self.seqs[rid]
-                if self.par.ksz:
-                    rs, cg = OE.kmer_edit_pairwise(self.par.ksz, qseq, self.cns)
-                else:
-                    rs, cg = OE.edit_pairwise(qseq, self.cns,
-                                              self.par.alnmode, 0)
-                self.qb, self.qe = rs.qb, rs.qe
-                self.slen = self.qe - self.qb
-                for i in range(rdlen):
-                    g.nodes[g.rdnode(rid, i)].mpos = 0
-                x, y = rs.qb, rs.tb
-                from ..cigar import iter_cigar_ops
-                for op in iter_cigar_ops(cg):
-                    if op in (0, 7, 8):
-                        u = g.nodes[g.rdnode(self.nseq, y)]
-                        g.nodes[g.rdnode(rid, x)].mpos = u.mpos
-                        x += 1
-                        y += 1
-                    elif op in (1, 4):
-                        x += 1
-                    else:
-                        y += 1
-                # revise leading (bspoa.h:4399-4427)
-                y = -1
-                x = rs.qb
-                while x < rs.qe:
-                    v = g.nodes[g.rdnode(rid, x)]
-                    if v.mpos:
-                        y = v.mpos
-                        break
-                    x += 1
-                z = x
-                while z >= rs.qb:
-                    v = g.nodes[g.rdnode(rid, z)]
-                    if y + z - x < 0:
-                        break
-                    v.mpos = y + z - x
-                    z -= 1
-                z += 1
-                qb = z
-                while x < rs.qe:
-                    v = g.nodes[g.rdnode(rid, x)]
-                    if v.mpos == 0:
-                        v.mpos = y
-                        y += 1
-                    elif v.mpos < y:
-                        v.mpos = y
-                        y += 1
-                    else:
-                        y = v.mpos + 1
-                    if y >= mlen:
-                        break
-                    x += 1
-                qe = x
+                qb, qe = self._remsa_map_noncore(rid, rdlen, mlen)
             else:
                 qb, qe = 0, rdlen
             lc = 4
             cc = 0
             if g._native is not None:
-                from .graph import ND_BASE, ND_MPOS
                 NR.g_cut_range(g, rid, qb, qe, 3)
-                base0 = g.ndoffs[rid]
-                mps = g._nd[ND_MPOS][base0 + qb: base0 + qe].astype(np.int64)
-                bss = g._nd[ND_BASE][base0 + qb: base0 + qe].astype(np.int64)
-                n = qe - qb
-                if n:
-                    seqs0[HW + mps] = bss
-                    # homopolymer rank counted from the run END (the scalar
-                    # loop walks k descending; the run's last base stores
-                    # nothing), capped at 255
-                    idx = np.arange(n)
-                    is_end = np.empty(n, bool)
-                    is_end[-1] = True
-                    is_end[:-1] = bss[:-1] != bss[1:]
-                    ends_rev = np.where(is_end[::-1], idx[::-1], n)
-                    run_end = np.minimum.accumulate(ends_rev)[::-1]
-                    val = np.minimum(run_end - idx, 255)
-                    mask = run_end != idx
-                    mats0[bss[mask], HW + mps[mask]] = val[mask]
+                self._remsa_fill_read(rid, qb, qe, seqs0, mats0, HW)
             else:
                 for i in range(qe, qb, -1):
                     vi = g.cut_rdnode(rid, i - 1, 3)
@@ -1788,6 +1758,93 @@ class BSPOA:
         self.del_msanodes()
         if all_:
             self.nrds = self.nseq
+
+    def _remsa_map_noncore(self, rid, rdlen, mlen):
+        """Map a non-core read onto the finished core MSA via (kmer-)edit
+        vs the consensus (bspoa.h:4351-4427); sets per-node mpos and
+        returns the [qb, qe) aligned range."""
+        g = self.g
+        self.qlen = self.slen = rdlen
+        self.qb = 0
+        self.qe = rdlen
+        qseq = self.seqs[rid]
+        if self.par.ksz:
+            rs, cg = OE.kmer_edit_pairwise(self.par.ksz, qseq, self.cns)
+        else:
+            rs, cg = OE.edit_pairwise(qseq, self.cns, self.par.alnmode, 0)
+        self.qb, self.qe = rs.qb, rs.qe
+        self.slen = self.qe - self.qb
+        for i in range(rdlen):
+            g.nodes[g.rdnode(rid, i)].mpos = 0
+        x, y = rs.qb, rs.tb
+        from ..cigar import iter_cigar_ops
+        for op in iter_cigar_ops(cg):
+            if op in (0, 7, 8):
+                u = g.nodes[g.rdnode(self.nseq, y)]
+                g.nodes[g.rdnode(rid, x)].mpos = u.mpos
+                x += 1
+                y += 1
+            elif op in (1, 4):
+                x += 1
+            else:
+                y += 1
+        # revise leading (bspoa.h:4399-4427)
+        y = -1
+        x = rs.qb
+        while x < rs.qe:
+            v = g.nodes[g.rdnode(rid, x)]
+            if v.mpos:
+                y = v.mpos
+                break
+            x += 1
+        z = x
+        while z >= rs.qb:
+            v = g.nodes[g.rdnode(rid, z)]
+            if y + z - x < 0:
+                break
+            v.mpos = y + z - x
+            z -= 1
+        z += 1
+        qb = z
+        while x < rs.qe:
+            v = g.nodes[g.rdnode(rid, x)]
+            if v.mpos == 0:
+                v.mpos = y
+                y += 1
+            elif v.mpos < y:
+                v.mpos = y
+                y += 1
+            else:
+                y = v.mpos + 1
+            if y >= mlen:
+                break
+            x += 1
+        qe = x
+        return qb, qe
+
+    def _remsa_fill_read(self, rid, qb, qe, seqs0, mats0, HW):
+        """Fill the read-side base string + homopolymer-rank counts from
+        the node arrays (reads mpos/base only — safe before cutting)."""
+        g = self.g
+        from .graph import ND_BASE, ND_MPOS
+        base0 = g.ndoffs[rid]
+        mps = g._nd[ND_MPOS][base0 + qb: base0 + qe].astype(np.int64)
+        bss = g._nd[ND_BASE][base0 + qb: base0 + qe].astype(np.int64)
+        n = qe - qb
+        if n:
+            seqs0[HW + mps] = bss
+            # homopolymer rank counted from the run END (the scalar
+            # loop walks k descending; the run's last base stores
+            # nothing), capped at 255
+            idx = np.arange(n)
+            is_end = np.empty(n, bool)
+            is_end[-1] = True
+            is_end[:-1] = bss[:-1] != bss[1:]
+            ends_rev = np.where(is_end[::-1], idx[::-1], n)
+            run_end = np.minimum.accumulate(ends_rev)[::-1]
+            val = np.minimum(run_end - idx, 255)
+            mask = run_end != idx
+            mats0[bss[mask], HW + mps[mask]] = val[mask]
 
     def _pedit_rd(self, rid, qb, qe, matrix0, matrix1, seqs0, seqs1, mats0,
                   mats1, mlen, mbeg, mend, bw, HW, rowlen):
