@@ -68,6 +68,8 @@ def main_align(argv):
     ap.add_argument("-L", type=int, default=0)
     ap.add_argument("-R", type=int, default=1)
     ap.add_argument("-v", action="count", default=0)
+    ap.add_argument("--dist", action="store_true",
+                    help="multi-host data parallel (jax.distributed)")
     ap.add_argument("inputs", nargs="+")
     args = ap.parse_args(argv)
     metrics.set_verbose(args.v)
@@ -76,6 +78,13 @@ def main_align(argv):
     gaps = (-args.O, -args.E, -args.Q, -args.P)
     pairs = _read_pairs(args.inputs)
     out = sys.stdout
+
+    from .parallel import dist
+    dist_on = args.dist or dist.enabled_by_env()
+    n_total = len(pairs)
+    if dist_on:
+        dist.init()
+        pairs = [pairs[i] for i in dist.process_shard(n_total)]
 
     if USE_DEVICE:
         from .align.pairwise import align_batch
@@ -98,10 +107,15 @@ def main_align(argv):
             bw = args.W if args.W > 0 else roundup(len(q.seq), 128)
             results.append(B8.pairwise(q.codes, t.codes, mode, bw, mtx, *gaps))
 
-    for (q, t), (rs, cg) in zip(pairs, results):
-        if rs.mat:
-            out.write(_fmt_pairwise(q.tag, t.tag, q.codes, t.codes, rs, cg,
-                                    args.L))
+    texts = [_fmt_pairwise(q.tag, t.tag, q.codes, t.codes, rs, cg, args.L)
+             if rs.mat else ""
+             for (q, t), (rs, cg) in zip(pairs, results)]
+    if dist_on:
+        full = dist.distribute_texts(n_total, texts)
+        if full is not None:
+            out.write("".join(full))
+    else:
+        out.write("".join(texts))
     return 0
 
 
@@ -112,6 +126,8 @@ def main_edit(argv):
     ap.add_argument("-k", type=int, default=13)
     ap.add_argument("-R", type=int, default=1)
     ap.add_argument("-v", action="count", default=0)
+    ap.add_argument("--dist", action="store_true",
+                    help="multi-host data parallel (jax.distributed)")
     ap.add_argument("inputs", nargs="+")
     args = ap.parse_args(argv)
     mode_name = args.m.lower()
@@ -121,6 +137,12 @@ def main_edit(argv):
         W = 0
     pairs = _read_pairs(args.inputs)
     out = sys.stdout
+    from .parallel import dist
+    dist_on = args.dist or dist.enabled_by_env()
+    n_total = len(pairs)
+    if dist_on:
+        dist.init()
+        pairs = [pairs[i] for i in dist.process_shard(n_total)]
     if USE_DEVICE:
         from .align.editdist import edit_batch, kmer_edit_batch
         qs = [p[0].codes for p in pairs]
@@ -138,9 +160,15 @@ def main_edit(argv):
             else:
                 results.append(E.edit_pairwise(q.codes, t.codes,
                                                MODE_NAMES[mode_name], W))
-    for (q, t), (rs, cg) in zip(pairs, results):
-        if rs.mat:
-            out.write(_fmt_pairwise(q.tag, t.tag, q.codes, t.codes, rs, cg))
+    texts = [_fmt_pairwise(q.tag, t.tag, q.codes, t.codes, rs, cg)
+             if rs.mat else ""
+             for (q, t), (rs, cg) in zip(pairs, results)]
+    if dist_on:
+        full = dist.distribute_texts(n_total, texts)
+        if full is not None:
+            out.write("".join(full))
+    else:
+        out.write("".join(texts))
     return 0
 
 

@@ -180,19 +180,10 @@ class PeditJob:
         self.HW = HW
 
 
-def pedit_forward_batch(jobs, Rs=64, interpret=None):
-    """Run the pedit forward DP for a batch of jobs on the TPU; returns
-    per-job (matrix0, matrix1) uint8 arrays identical to the native
-    bsa_pedit_forward layout ([2*mlen+1+1, rowlen] flattened)."""
-    if interpret is None:
-        interpret = jax.default_backend() == "cpu"
-    assert jobs
+def pack_jobs(jobs, R, Rs, NT):
+    """Pack job operands into the kernel's (init, feed) arrays."""
     bw = jobs[0].bw
-    HW = jobs[0].HW
-    assert all(j.bw == bw and j.HW == HW for j in jobs)
-    R = max(8, 1 << (len(jobs) - 1).bit_length())
-    nsteps = max(2 * (j.mend - j.mbeg) - 1 for j in jobs)
-    NT = -(-(nsteps + 1) // Rs)
+    assert all(j.bw == bw and j.HW == jobs[0].HW for j in jobs)
     Half = Rs // 2
 
     init = np.zeros((NPL, R, LW), np.uint8)
@@ -253,11 +244,12 @@ def pedit_forward_batch(jobs, Rs=64, interpret=None):
                 gk = tcb * Half - 1 + np.arange(Half + 1)
                 ok = (gk >= 0) & (gk < nfeed)
                 feed[tcb, p, ji, ok] = vals[gk[ok]]
+    return jnp.asarray(init), jnp.asarray(feed)
 
-    call = _get_call(bw, HW, R, Rs, NT, bool(interpret))
-    o0, o1 = call(jnp.asarray(init), jnp.asarray(feed))
-    o0 = np.asarray(o0)
-    o1 = np.asarray(o1)
+
+def unpack_jobs(jobs, o0, o1):
+    """Scatter kernel output rows into per-job native-layout matrices."""
+    bw = jobs[0].bw
     rowlen = bw + 2
     outs = []
     for ji, j in enumerate(jobs):
@@ -272,3 +264,21 @@ def pedit_forward_batch(jobs, Rs=64, interpret=None):
         m1[base * rowlen:(base + nrows) * rowlen] = rows1.ravel()
         outs.append((m0, m1))
     return outs
+
+
+def pedit_forward_batch(jobs, Rs=64, interpret=None):
+    """Run the pedit forward DP for a batch of jobs on the TPU; returns
+    per-job (matrix0, matrix1) uint8 arrays identical to the native
+    bsa_pedit_forward layout ([2*mlen+1+1, rowlen] flattened)."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    assert jobs
+    bw = jobs[0].bw
+    HW = jobs[0].HW
+    R = max(8, 1 << (len(jobs) - 1).bit_length())
+    nsteps = max(2 * (j.mend - j.mbeg) - 1 for j in jobs)
+    NT = -(-(nsteps + 1) // Rs)
+    init, feed = pack_jobs(jobs, R, Rs, NT)
+    call = _get_call(bw, HW, R, Rs, NT, bool(interpret))
+    o0, o1 = call(init, feed)
+    return unpack_jobs(jobs, np.asarray(o0), np.asarray(o1))

@@ -97,7 +97,7 @@ def make_sharded_pallas_forward(T, W, mode, piecewise, gapo1, gape1, gapo2,
     from ..ops import banded8_pallas as KP
 
     fwd = KP.make_forward(T, W, mode, piecewise, gapo1, gape1, gapo2, gape2,
-                          nt_max, nt_min, BL=BL, Rs=Rs, interpret=False)
+                          nt_max, nt_min, BL=BL, Rs=Rs)
 
     def prepare(*args):
         return fwd.prepare(*args)
@@ -127,3 +127,42 @@ def make_sharded_pallas_forward(T, W, mode, piecewise, gapo1, gape1, gapo2,
         return jax.jit(f)(*ops)
 
     return run, prepare
+
+
+def sharded_pedit_forward(jobs, mesh: Mesh, Rs=16, interpret=None):
+    """Run the POA remsa pedit Pallas kernel with the job batch sharded
+    over the mesh data axis (jobs are (window, read) realignments —
+    embarrassingly parallel). Same per-job outputs as
+    ops.pedit_pallas.pedit_forward_batch."""
+    try:
+        from jax import shard_map
+    except ImportError:
+        from jax.experimental.shard_map import shard_map
+
+    from ..ops import pedit_pallas as PP
+
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    nsh = mesh.devices.size
+    bw, HW = jobs[0].bw, jobs[0].HW
+    R1 = max(8, -(-len(jobs) // nsh))
+    R = R1 * nsh
+    nsteps = max(2 * (j.mend - j.mbeg) - 1 for j in jobs)
+    NT = -(-(nsteps + 1) // Rs)
+    init, feed = PP.pack_jobs(jobs, R, Rs, NT)
+    call = PP._get_call(bw, HW, R1, Rs, NT, bool(interpret))
+    d = DATA_AXIS
+
+    def local(i, f):
+        return call(i, f)
+
+    in_specs = (P(None, d, None), P(None, None, d, None))
+    out_specs = (P(None, d, None), P(None, d, None))
+    try:
+        f = shard_map(local, mesh=mesh, in_specs=in_specs,
+                      out_specs=out_specs, check_vma=False)
+    except TypeError:
+        f = shard_map(local, mesh=mesh, in_specs=in_specs,
+                      out_specs=out_specs, check_rep=False)
+    o0, o1 = jax.jit(f)(init, feed)
+    return PP.unpack_jobs(jobs, np.asarray(o0), np.asarray(o1))

@@ -17,6 +17,11 @@ import numpy as np
 
 
 def main():
+    from bsalign_tpu.parallel import dist
+    if dist.enabled_by_env():
+        # multi-host: every process runs this script under jax.distributed
+        # (BSA_COORD/BSA_NPROCS/BSA_PROC_ID or TPU-pod autodetection)
+        dist.init()
     import jax
     from bsalign_tpu.align import pairwise as P
     from bsalign_tpu.oracle import banded8 as O
@@ -25,7 +30,9 @@ def main():
     L, BW, PER_DEV = 2000, 128, 128
     devs = jax.devices()
     rng = np.random.default_rng(0)
-    print(f"devices: {len(devs)} x {devs[0].device_kind}")
+    pid, pcnt = dist.process_info()
+    print(f"devices: {len(devs)} x {devs[0].device_kind}"
+          f"  (process {pid}/{pcnt})")
     for n in sorted({1, max(1, len(devs) // 2), len(devs)}):
         B = PER_DEV * n
         qs, ts = [], []
