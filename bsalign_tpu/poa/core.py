@@ -485,7 +485,50 @@ class BSPOA:
             self.bandwidth = roundup(min(par.bandwidth, seqlen), WS)
         if par.bwtrigger and nhead == g.HEAD and ntail == g.TAIL:
             if par.refmode and self.cigars[rid]:
-                raise NotImplementedError("refmode cigars")
+                # caller-supplied read-vs-backbone CIGAR places the band
+                # (bspoa.h:2053-2087): strip soft/hard-clip + indel margins
+                # from both ends, then the retained runs drive the rmap
+                cgs_full = self.cigars[rid]
+                x = y = 0
+                i = 0
+                while i < len(cgs_full):
+                    op = cgs_full[i] & 0xF
+                    sz = cgs_full[i] >> 4
+                    if op in (2, 3, 5):       # D/N/H consume ref
+                        y += sz
+                    elif op in (1, 4):        # I/S consume read
+                        x += sz
+                    else:
+                        break
+                    i += 1
+                cgs2 = cgs_full[i:]
+                self.qb = x
+                tb = y
+                x = y = 0
+                i = len(cgs2)
+                while i > 0:
+                    op = cgs2[i - 1] & 0xF
+                    sz = cgs2[i - 1] >> 4
+                    if op in (2, 3, 5):
+                        y += sz
+                    elif op in (1, 4):
+                        # the reference reads cgs[i] here (bspoa.h:2077), an
+                        # off-by-one into the next entry; we use the intended
+                        # run being classified
+                        x += sz
+                    else:
+                        break
+                    i -= 1
+                cgs2 = cgs2[:i]
+                self.qe = self.qlen - x
+                self.slen = self.qe - self.qb
+                te = self.backbone - y
+                x, y = 0, tb
+                tb = tb - self.bandwidth // 4 \
+                    if tb >= self.bandwidth // 2 else 0
+                te = te + self.bandwidth // 4 \
+                    if reflen - te >= self.bandwidth // 2 else reflen
+                cgs = cgs2
             elif len(self.cns) and roundup(seqlen, WS) > par.bandwidth:
                 if par.ksz:
                     rs, cg = OE.kmer_edit_pairwise(par.ksz, self.qseq, self.cns)
