@@ -1,14 +1,22 @@
 #!/usr/bin/env python
 """Benchmark: DP cell-updates/s/chip for the 8-bit banded pairwise engine.
 
-Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N,
+"extras": {...}}.
 
-Measures the Pallas forward kernel (the flagship compute path) with
-device-resident operands and a forced host fetch of the (small) score output
-after a queue of back-to-back launches — i.e. honest device throughput, with
-per-launch host/tunnel latency amortized the way a streaming aligner would.
-vs_baseline compares against the reference bsalign binary compiled on this
-machine (single-threaded SSE4.2, timed via its own -R repeat loop).
+The headline value is the Pallas banded-8 forward kernel with device-resident
+operands and launch latency amortized over a queue (kernel speed-of-light on
+one chip). vs_baseline is HONEST against the task target — an estimated
+32-thread AVX2 reference build (measured single-thread SSE4.2 x 2 for AVX2
+lane width x 32 threads; alignment is embarrassingly parallel so thread
+scaling is ~linear) — not against the friendliest 1-thread number, which is
+reported separately in extras.
+
+extras adds: end-to-end aligned pairs/s (fresh operands, plane fetch, native
+backcal traceback, CIGARs — honest streaming cost; NOTE on this dev host the
+device link is a ~12 MB/s tunnel, so plane fetch dominates e2e far beyond
+what real PCIe would cost), the bit-parallel edit kernel, the POA pedit
+kernel, and POA windows/s.
 """
 import json
 import os
@@ -51,7 +59,8 @@ def gen_pairs(n, length, err=0.10, seed=0):
     return qs, ts
 
 
-def bench_tpu(qs, ts):
+def bench_kernel(qs, ts):
+    """Banded-8 Pallas forward, device-resident operands, queued launches."""
     import jax
     from bsalign_tpu.align import pairwise as P
     from bsalign_tpu.oracle import banded8 as O
@@ -62,28 +71,139 @@ def bench_tpu(qs, ts):
     args = (qpad, qlens, tpad, tlens, P._mtx5(mtx), rby, us0, es0, qs0, ub0)
     eng = P._engine()
     fwd = eng.make_forward(T, BW // 16, 0, 1, -3, -2, 0, 0, 2, -6)
-    if hasattr(fwd, "prepare"):      # Pallas path: device-resident operands
-        call, ops, _meta = fwd.prepare(*args)
-        dev = [jax.device_put(a) for a in ops]
+    if not hasattr(fwd, "prepare"):
+        return None
+    call, ops, _meta = fwd.prepare(*args)
+    dev = [jax.device_put(a) for a in ops]
+    outs = call(*dev)
+    np.asarray(outs[-1])
+    t0 = time.time()
+    for _ in range(QUEUE):
         outs = call(*dev)
-        np.asarray(outs[-1])         # warm + force completion
-        t0 = time.time()
-        for _ in range(QUEUE):
-            outs = call(*dev)
-        np.asarray(outs[-1])
-        dt = (time.time() - t0) / QUEUE
-    else:                            # XLA engine fallback
-        import jax
-        dev = [jax.device_put(a) for a in args]
-        res = fwd(*dev)
-        np.asarray(res.score)
-        t0 = time.time()
-        for _ in range(QUEUE):
-            res = fwd(*dev)
-        np.asarray(res.score)
-        dt = (time.time() - t0) / QUEUE
-    cells = float(np.sum(tlens)) * BW
-    return cells / dt
+    np.asarray(outs[-1])
+    dt = (time.time() - t0) / QUEUE
+    return float(np.sum(tlens)) * BW / dt
+
+
+def bench_e2e(qs, ts, n):
+    """Aligned pairs/s end to end: fresh host operands, kernel, plane fetch,
+    native backcal traceback, CIGARs."""
+    from bsalign_tpu.align.pairwise import align_batch
+    from bsalign_tpu.oracle import banded8 as O
+    mtx = O.set_score_matrix(2, -6)
+    sub_q, sub_t = qs[:n], ts[:n]
+    align_batch(sub_q[:4], sub_t[:4], 0, BW, mtx, -3, -2, 0, 0)  # warm
+    t0 = time.time()
+    res = align_batch(sub_q, sub_t, 0, BW, mtx, -3, -2, 0, 0)
+    dt = time.time() - t0
+    assert len(res) == n and res[0][1]
+    return n / dt
+
+
+def bench_edit_kernel(qs, ts, n=256):
+    """Bit-parallel edit kernel, full matrix (device-resident, queued)."""
+    import jax
+    from bsalign_tpu.align import editdist as ED
+    from bsalign_tpu.constants import roundup
+    sub_q, sub_t = qs[:n], ts[:n]
+    qlens = np.array([len(q) for q in sub_q], np.int32)
+    tlens = np.array([len(t) for t in sub_t], np.int32)
+    T = roundup(int(tlens.max()), 128)
+    bw = roundup(int(qlens.max()), 64)
+    NW = bw // 32
+    NWQ = 1
+    while NWQ < NW + 2:
+        NWQ *= 2
+    from bsalign_tpu.ops import edit_pallas as EP
+    BL, Rs = 128, 16
+    Bp = -(-n // BL) * BL
+    NB = Bp // BL
+    Tp = -(-T // Rs) * Rs
+    qeq = ED._qeq_planes(sub_q, NWQ)
+    qeq_f = np.zeros((4, Bp, NWQ), np.uint32)
+    qeq_f[:, :n] = qeq
+    qk = np.ascontiguousarray(
+        qeq_f.reshape(4, NB, BL, NWQ).transpose(1, 0, 3, 2))
+    ts_f = np.zeros((Bp, Tp), np.int32)
+    for b in range(n):
+        ts_f[b, :tlens[b]] = sub_t[b]
+    tsk = np.ascontiguousarray(
+        ts_f.reshape(NB, BL, Tp // Rs, Rs).transpose(0, 2, 3, 1))
+    zk = np.zeros((NB, Tp // Rs, Rs, BL), np.int32)
+    qltl = np.zeros((NB, 8, BL), np.int32)
+    ql_f = np.full(Bp, 1, np.int32)
+    ql_f[:n] = qlens
+    tl_f = np.ones(Bp, np.int32)
+    tl_f[:n] = tlens
+    qltl[:, 0] = ql_f.reshape(NB, BL)
+    qltl[:, 1] = tl_f.reshape(NB, BL)
+    call = EP._get_call(T, NW, 0, NWQ, False, BL, Rs, Tp, NB, False)
+    dev = [jax.device_put(a) for a in (qk, tsk, zk, zk, qltl)]
+    outs = call(*dev)
+    np.asarray(outs[-1][:1, :1])
+    t0 = time.time()
+    for _ in range(QUEUE):
+        outs = call(*dev)
+    np.asarray(outs[-1][:1, :1])
+    dt = (time.time() - t0) / QUEUE
+    return float(np.sum(tlens)) * bw / dt
+
+
+def bench_pedit():
+    """POA remsa profile-DP kernel (jobs on sublanes, device-resident)."""
+    import jax
+    import jax.numpy as jnp
+    from bsalign_tpu.ops.pedit_pallas import _get_call
+    rng = np.random.default_rng(1)
+    mlen, bw, R, Rs = 900, 64, 256, 64
+    nsteps = 2 * mlen - 1
+    NT = -(-(nsteps + 1) // Rs)
+    call = _get_call(bw, bw // 2, R, Rs, NT, False)
+    init = jnp.asarray(rng.integers(0, 5, (10, R, 128)).astype(np.uint8))
+    feed = jnp.asarray(
+        rng.integers(0, 5, (NT, 10, R, Rs // 2 + 1)).astype(np.uint8))
+    o0, o1 = call(init, feed)
+    np.asarray(o1[:1, :1])
+    t0 = time.time()
+    for _ in range(QUEUE):
+        o0, o1 = call(init, feed)
+    np.asarray(o1[:1, :1])
+    dt = (time.time() - t0) / QUEUE
+    return R * nsteps * bw / dt
+
+
+def bench_poa_windows():
+    from bsalign_tpu.poa.batch import run_windows
+    from bsalign_tpu.poa.core import BSPOAPar
+    rng = np.random.default_rng(7)
+    BASES = "ACGT"
+
+    def gen_window(nreads=20, reflen=800, err=0.12):
+        ref = rng.integers(0, 4, reflen)
+        reads = []
+        for _ in range(nreads):
+            out, i = [], 0
+            while i < reflen:
+                r = rng.random()
+                if r < err * 0.3:
+                    out.append((int(ref[i]) + int(rng.integers(1, 4))) & 3)
+                    i += 1
+                elif r < err * 0.6:
+                    out.append(int(rng.integers(0, 4)))
+                elif r < err:
+                    i += 1
+                else:
+                    out.append(int(ref[i]))
+                    i += 1
+            reads.append("".join(BASES[c] for c in out))
+        return reads
+
+    wins = [gen_window() for _ in range(8)]
+    run_windows(wins[:1], BSPOAPar())
+    t0 = time.time()
+    run_windows(wins, BSPOAPar())
+    dt = time.time() - t0
+    return len(wins) / dt
 
 
 def bench_reference(qs, ts):
@@ -113,14 +233,43 @@ def bench_reference(qs, ts):
 
 def main():
     qs, ts = gen_pairs(B, L)
-    tpu_cells = bench_tpu(qs, ts)
-    ref_cells = bench_reference(qs, ts)
-    vs = (tpu_cells / ref_cells) if ref_cells else -1.0
+    kernel_cells = bench_kernel(qs, ts)
+    ref_1t = bench_reference(qs, ts)
+    extras = {}
+    try:
+        extras["e2e_pairs_per_s_2kb_W128_B32"] = round(
+            bench_e2e(qs, ts, 32), 2)
+    except Exception as e:  # keep the headline robust
+        extras["e2e_error"] = str(e)[:120]
+    try:
+        extras["edit_kernel_cells_per_s"] = round(
+            bench_edit_kernel(qs, ts), 1)
+    except Exception as e:
+        extras["edit_error"] = str(e)[:120]
+    try:
+        extras["pedit_kernel_cells_per_s"] = round(bench_pedit(), 1)
+    except Exception as e:
+        extras["pedit_error"] = str(e)[:120]
+    try:
+        extras["poa_windows_per_s_20x800"] = round(bench_poa_windows(), 2)
+    except Exception as e:
+        extras["poa_error"] = str(e)[:120]
+    if ref_1t:
+        extras["ref_1thread_sse_cells_per_s"] = round(ref_1t, 1)
+        extras["vs_ref_1thread"] = round(kernel_cells / ref_1t, 2)
+    # honest target baseline: 32-thread AVX2 estimate = 1-thread SSE x2 x32
+    baseline = ref_1t * 64 if ref_1t else None
+    extras["baseline_note"] = (
+        "vs_baseline is vs estimated 32-thread AVX2 (1-thread SSE4.2 "
+        "measured x2 lane width x32 threads); e2e on this host is "
+        "bottlenecked by a ~12MB/s dev tunnel, not device time")
+    vs = (kernel_cells / baseline) if baseline else -1.0
     print(json.dumps({
         "metric": "dp_cell_updates_per_s_per_chip_banded8",
-        "value": round(tpu_cells, 1),
+        "value": round(kernel_cells, 1),
         "unit": "cells/s",
         "vs_baseline": round(vs, 3),
+        "extras": extras,
     }))
 
 
