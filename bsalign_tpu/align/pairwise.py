@@ -64,6 +64,49 @@ def _init_state(mode, bandwidth, piecewise, smax, smin, gapo1, gape1, gapo2,
 
 
 DEVICE_CHUNK = 256  # pairs per forward call: peak VPU throughput, fits VMEM
+T_CHUNK = 4096      # rows per device call for long targets (bounds the HBM
+                    # held by traceback planes: T_CHUNK*BW*B bytes per plane)
+
+
+def _forward_chunked(eng, T, W, mode, piecewise, gapo1, gape1, gapo2, gape2,
+                     smax, smin, qpad, qlens, tpad, tlens, mtx5, rby,
+                     us0, es0, qs0, ub0, Tc):
+    """Run the Pallas forward in row chunks with device-state carry.
+
+    Long-read memory story (SURVEY.md §7 hard part 7): the stored
+    difference planes are O(T*BW*B) int8 — chunking keeps only Tc rows
+    in flight per call while the DP state (planes, anchors, band
+    registers) resumes exactly, so 50-100 kb targets run at full batch
+    without holding multi-GB plane buffers on device."""
+    fwd = eng.make_forward(Tc, W, mode, piecewise, gapo1, gape1, gapo2,
+                           gape2, smax, smin)
+    us, es, qs, ub = us0, es0, qs0, ub0
+    reg = None
+    res = None
+    parts = []
+    for c0 in range(0, T, Tc):
+        c1 = min(c0 + Tc, T)
+        res = fwd(qpad, qlens, tpad[:, c0:c1], tlens, mtx5, rby[c0:c1],
+                  us, es, qs, ub, init_reg=reg, row0=c0)
+        parts.append(res.planes)
+        fp = res.final_planes
+        us = fp[0]
+        es = fp[1] if piecewise >= 1 else None
+        qs = fp[2] if piecewise == 2 else None
+        ub_full = np.zeros((WS + 1, us.shape[2]), np.int32)
+        ub_full[:] = res.final_ubegs
+        ub = ub_full
+        reg = res.final_reg
+    from ..ops.banded8_jax import RowPlanes
+    planes = RowPlanes(
+        np.concatenate([p.us for p in parts], axis=0)[:T],
+        (np.concatenate([p.es for p in parts], axis=0)[:T]
+         if piecewise >= 1 else None),
+        (np.concatenate([p.qs for p in parts], axis=0)[:T]
+         if piecewise == 2 else None),
+        np.concatenate([p.ubegs for p in parts], axis=0)[:T],
+        np.concatenate([p.begs for p in parts], axis=0)[:T])
+    return res._replace(planes=planes)
 
 
 def _engine():
@@ -113,12 +156,20 @@ def align_batch(qseqs: Sequence[np.ndarray], tseqs: Sequence[np.ndarray],
     us0, es0, qs0, ub0, _ = _init_state(mode, bandwidth, piecewise, smax,
                                         smin, gapo1, gape1, gapo2, gape2, B)
     eng = _engine()
-    fwd = eng.make_forward(T, W, mode, piecewise, gapo1, gape1, gapo2, gape2,
-                           smax, smin)
     from ..utils import metrics
+    chunked = (T > T_CHUNK
+               and getattr(eng, "__name__", "").endswith("banded8_pallas"))
     with metrics.timed("banded8_fwd", float(np.sum(tlens)) * bandwidth):
-        res = fwd(qpad, qlens, tpad, tlens, _mtx5(mtx), rby, us0, es0, qs0,
-                  ub0)
+        if chunked:
+            res = _forward_chunked(eng, T, W, mode, piecewise, gapo1, gape1,
+                                   gapo2, gape2, smax, smin, qpad, qlens,
+                                   tpad, tlens, _mtx5(mtx), rby, us0, es0,
+                                   qs0, ub0, T_CHUNK)
+        else:
+            fwd = eng.make_forward(T, W, mode, piecewise, gapo1, gape1,
+                                   gapo2, gape2, smax, smin)
+            res = fwd(qpad, qlens, tpad, tlens, _mtx5(mtx), rby, us0, es0,
+                      qs0, ub0)
     planes = res.planes
     us_p = np.asarray(planes.us)
     es_p = None if planes.es is None else np.asarray(planes.es)

@@ -62,6 +62,9 @@ class ForwardResult(NamedTuple):
     final_us: jax.Array     # [W, WS, B] int32 (state at last active row)
     final_ubegs: jax.Array  # [WS+1, B] int32
     final_rbeg: jax.Array   # [B] int32
+    # Pallas engine extras for T-chunked resume (None on the XLA engine):
+    final_planes: object = None   # [us, es?, qs?] each [W, WS, B] int32
+    final_reg: object = None      # [8, B] int32 raw register dump
 
 
 def _sel_roll(x, amt, axis, n):

@@ -445,28 +445,27 @@ def _get_call(T, W, mode, piecewise, gapo1, gape1, gapo2, gape2, nt_max,
     n_pl = 1 if piecewise == 0 else (2 if piecewise == 1 else 3)
 
     def kernel(*refs):
-        (qch, tseq, rby, qltz, mtx5, i_us, i_es, i_qs, i_ub) = refs[:9]
-        outs = refs[9:9 + n_pl + 5]
+        (qch, tseq, rby, qltz, mtx5, row0_r, i_us, i_es, i_qs, i_ub,
+         i_reg) = refs[:11]
+        outs = refs[11:11 + 2 * n_pl + 4]
         pl_outs = outs[:n_pl]
-        ub_o, begs_o, fin_us_o, fin_ub_o, scal_o = outs[n_pl:n_pl + 5]
-        scratch = refs[9 + n_pl + 5:]
+        ub_o, begs_o = outs[n_pl:n_pl + 2]
+        fin_pl_o = outs[n_pl + 2:2 * n_pl + 2]
+        fin_ub_o, scal_o = outs[2 * n_pl + 2:2 * n_pl + 4]
+        scratch = refs[11 + 2 * n_pl + 4:]
         s_planes = scratch[:n_pl]
         s_ub, s_win, s_reg = scratch[n_pl:n_pl + 3]
-        s_us = s_planes[0]
         tc = pl.program_id(1)
+        row0 = row0_r[0, 0]
 
         @pl.when(tc == 0)
         def _init():
-            inits = (i_us, i_es, i_qs)
+            inits = (i_us, i_es, i_qs)[:n_pl]
             for s in range(S):
                 for sp, ip in zip(s_planes, inits):
-                    sp[s] = jnp.broadcast_to(ip[:][:, :, None], (W, WS, BL))
-                s_ub[s] = jnp.broadcast_to(i_ub[:][:WS + 1], (WS + 1, BL))
-                s_reg[s] = jnp.concatenate([
-                    jnp.zeros((2, BL), I32),
-                    jnp.full((1, BL), 1 << 28, I32),
-                    jnp.full((1, BL), SCORE_MIN, I32),
-                    jnp.zeros((4, BL), I32)], axis=0)
+                    sp[s] = ip[s]
+                s_ub[s] = i_ub[s, :WS + 1]
+                s_reg[s] = i_reg[s]
 
         def refresh_win(s, rbeg_v):
             ci = rbeg_v // C_CHUNK                           # (1, BL)
@@ -489,7 +488,7 @@ def _get_call(T, W, mode, piecewise, gapo1, gape1, gapo2, gape2, nt_max,
             return jnp.transpose(win.reshape(SLANES, W, BL), (1, 0, 2))
 
         def row_step(s, r):
-            i = tc * Rs + r                                  # traced scalar
+            i = row0 + tc * Rs + r                           # global row
             qlen_v = qltz[s, 0:1]
             tlen_v = qltz[s, 1:2]
             rbz_v = qltz[s, 2:3]
@@ -612,16 +611,15 @@ def _get_call(T, W, mode, piecewise, gapo1, gape1, gapo2, gape2, nt_max,
 
         # final-state outputs (revisited block; last chunk's write wins)
         for s in range(S):
-            fin_us_o[s] = s_us[s]
+            for fo, sp in zip(fin_pl_o, s_planes):
+                fo[s] = sp[s]
             fin_ub_o[s] = jnp.concatenate(
                 [s_ub[s], jnp.zeros((UBR - WS - 1, BL), I32)], axis=0)
-            scal_o[s] = jnp.concatenate([
-                s_reg[s, REG_BS:REG_BS + 1], s_reg[s, REG_BQE:REG_BQE + 1],
-                s_reg[s, REG_BTE:REG_BTE + 1],
-                s_reg[s, REG_RBEG:REG_RBEG + 1],
-                jnp.zeros((4, BL), I32)], axis=0)
+            scal_o[s] = s_reg[s]
 
     vm = pltpu.VMEM
+    state_spec = pl.BlockSpec((S, W, WS, BL), lambda b, tc: (b, 0, 0, 0),
+                              memory_space=vm)
     in_specs = [
         pl.BlockSpec((S, NCH, C_CHUNK, BL), lambda b, tc: (b, 0, 0, 0),
                      memory_space=vm),
@@ -632,18 +630,23 @@ def _get_call(T, W, mode, piecewise, gapo1, gape1, gapo2, gape2, nt_max,
         pl.BlockSpec((S, 8, BL), lambda b, tc: (b, 0, 0),
                      memory_space=vm),                       # qlen/tlen/rbz
         pl.BlockSpec(memory_space=pltpu.SMEM),               # mtx5 [8,4]
-        pl.BlockSpec(memory_space=vm),                       # init us
-        pl.BlockSpec(memory_space=vm),                       # init es
-        pl.BlockSpec(memory_space=vm),                       # init qs
-        pl.BlockSpec(memory_space=vm),                       # init ub [24,1]
+        pl.BlockSpec(memory_space=pltpu.SMEM),               # row0 [1,1]
+        state_spec,                                          # init us
+        state_spec,                                          # init es
+        state_spec,                                          # init qs
+        pl.BlockSpec((S, UBR, BL), lambda b, tc: (b, 0, 0),
+                     memory_space=vm),                       # init ub
+        pl.BlockSpec((S, 8, BL), lambda b, tc: (b, 0, 0),
+                     memory_space=vm),                       # init reg
     ]
     plane_shape = jax.ShapeDtypeStruct((NB, Tp, W, WS, BL), jnp.int8)
     plane_spec = pl.BlockSpec((S, Rs, W, WS, BL),
                               lambda b, tc: (b, tc, 0, 0, 0), memory_space=vm)
+    fin_plane_shape = jax.ShapeDtypeStruct((NB, W, WS, BL), I32)
     out_shape = [plane_shape] * n_pl + [
         jax.ShapeDtypeStruct((NB, Tp, UBR, BL), I32),
         jax.ShapeDtypeStruct((NB, Tp, BL), I32),
-        jax.ShapeDtypeStruct((NB, W, WS, BL), I32),
+    ] + [fin_plane_shape] * n_pl + [
         jax.ShapeDtypeStruct((NB, UBR, BL), I32),
         jax.ShapeDtypeStruct((NB, 8, BL), I32),
     ]
@@ -651,8 +654,7 @@ def _get_call(T, W, mode, piecewise, gapo1, gape1, gapo2, gape2, nt_max,
         pl.BlockSpec((S, Rs, UBR, BL), lambda b, tc: (b, tc, 0, 0),
                      memory_space=vm),
         pl.BlockSpec((S, Rs, BL), lambda b, tc: (b, tc, 0), memory_space=vm),
-        pl.BlockSpec((S, W, WS, BL), lambda b, tc: (b, 0, 0, 0),
-                     memory_space=vm),
+    ] + [state_spec] * n_pl + [
         pl.BlockSpec((S, UBR, BL), lambda b, tc: (b, 0, 0), memory_space=vm),
         pl.BlockSpec((S, 8, BL), lambda b, tc: (b, 0, 0), memory_space=vm),
     ]
@@ -691,8 +693,13 @@ def make_forward(T: int, W: int, mode: int, piecewise: int, gapo1: int,
         interpret = jax.default_backend() == "cpu"
 
     def prepare(qpad, qlen, tseq, tlen, mtx5, rby, init_us, init_es, init_qs,
-                init_ub):
-        """Pack operands into kernel layout; returns (call, ops, meta)."""
+                init_ub, init_reg=None, row0=0):
+        """Pack operands into kernel layout; returns (call, ops, meta).
+
+        init_* are per-pair ([W, WS, B] / [WS+1, B]); init_reg ([8, B]:
+        rbeg, mov, macc, best_score, best_qe, best_te, 0, 0) and row0
+        (global row offset) support resuming a T-chunked run from a prior
+        call's fin_* / scal outputs."""
         qpad = np.asarray(qpad, np.int32)
         qlen = np.asarray(qlen, np.int32)
         tseq = np.asarray(tseq, np.int32)
@@ -729,13 +736,32 @@ def make_forward(T: int, W: int, mode: int, piecewise: int, gapo1: int,
                  ).astype(np.int32)
         m8 = np.zeros((8, 4), np.int32)
         m8[:5] = mtx5
-        i_us = np.asarray(init_us)[:, :, 0].astype(np.int32)
-        i_es = (np.asarray(init_es)[:, :, 0].astype(np.int32)
-                if init_es is not None else np.zeros((W, WS), np.int32))
-        i_qs = (np.asarray(init_qs)[:, :, 0].astype(np.int32)
-                if init_qs is not None else np.zeros((W, WS), np.int32))
-        i_ub = np.zeros((UBR, 1), np.int32)
-        i_ub[:WS + 1, 0] = np.asarray(init_ub)[:, 0]
+
+        def pack_state(a):
+            f = np.zeros((W, WS, Bp), np.int32)
+            if a is not None:
+                a = np.asarray(a, np.int32)
+                f[:, :, :B] = a if a.shape[2] == B else a[:, :, :B]
+            return np.ascontiguousarray(
+                f.reshape(W, WS, NB, BL).transpose(2, 0, 1, 3))
+
+        i_us = pack_state(init_us)
+        i_es = pack_state(init_es)
+        i_qs = pack_state(init_qs)
+        ub_f = np.zeros((UBR, Bp), np.int32)
+        ub_f[:WS + 1, :B] = np.asarray(init_ub, np.int32)[:WS + 1]
+        i_ub = np.ascontiguousarray(
+            ub_f.reshape(UBR, NB, BL).transpose(1, 0, 2))
+        reg_f = np.zeros((8, Bp), np.int32)
+        reg_f[3] = SCORE_MIN          # best score
+        if init_reg is not None:
+            reg_f[:, :B] = np.asarray(init_reg, np.int32)
+        # the query-window scratch does not survive across calls: force a
+        # refresh on the first row (macc only triggers upkeep, never math)
+        reg_f[2] = 1 << 28
+        i_reg = np.ascontiguousarray(
+            reg_f.reshape(8, NB, BL).transpose(1, 0, 2))
+        r0 = np.full((1, 1), int(row0), np.int32)
 
         call = _get_call(T, W, mode, piecewise, gapo1, gape1, gapo2, gape2,
                          nt_max, nt_min, BL, Rs, NCH, Tp, NB, uniform,
@@ -744,23 +770,25 @@ def make_forward(T: int, W: int, mode: int, piecewise: int, gapo1: int,
         qltz[:, 0] = ql_f.reshape(NB, BL)
         qltz[:, 1] = tl_f.reshape(NB, BL)
         qltz[:, 2] = rbz_f.reshape(NB, BL)
-        ops = (qch, tsk, rbk, qltz, m8, i_us, i_es, i_qs, i_ub)
+        ops = (qch, tsk, rbk, qltz, m8, r0, i_us, i_es, i_qs, i_ub, i_reg)
         return call, ops, (B, Bp, NB, Tp, qlen, tlen)
 
-    def forward(qpad, qlen, tseq, tlen, mtx5, rby, init_us, init_es, init_qs,
-                init_ub):
-        call, ops, (B, Bp, NB, Tp, qlen, tlen) = prepare(
-            qpad, qlen, tseq, tlen, mtx5, rby, init_us, init_es, init_qs,
-            init_ub)
-        outs = call(*ops)
-        n_pl = 1 if piecewise == 0 else (2 if piecewise == 1 else 3)
+    n_pl = 1 if piecewise == 0 else (2 if piecewise == 1 else 3)
+
+    def unpack(outs, B, Bp, NB, Tp, qlen, tlen):
         plane_outs = outs[:n_pl]
-        ub_o, begs, fin_us, fin_ub, scal = outs[n_pl:n_pl + 5]
+        ub_o, begs = outs[n_pl:n_pl + 2]
+        fin_planes = outs[n_pl + 2:2 * n_pl + 2]
+        fin_ub, scal = outs[2 * n_pl + 2:2 * n_pl + 4]
 
         def planes_to_host(x):
             a = np.asarray(x)            # [NB, Tp, W, WS, BL]
             a = a.transpose(1, 2, 3, 0, 4).reshape(Tp, BW, Bp)
             return a[:T, :, :B]
+
+        def fin_to_host(x):
+            return np.asarray(x).transpose(1, 2, 0, 3).reshape(
+                W, WS, Bp)[:, :, :B]
 
         us_p = planes_to_host(plane_outs[0])
         es_p = planes_to_host(plane_outs[1]) if piecewise >= 1 else None
@@ -769,15 +797,17 @@ def make_forward(T: int, W: int, mode: int, piecewise: int, gapo1: int,
             Tp, UBR, Bp)[:T, :WS + 1, :B]
         begs_np = np.asarray(begs).transpose(1, 0, 2).reshape(
             Tp, Bp)[:T, :B]
-        fin_us_np = np.asarray(fin_us).transpose(1, 2, 0, 3).reshape(
-            W, WS, Bp)[:, :, :B]
+        fin_pl_np = [fin_to_host(x) for x in fin_planes]
+        fin_us_np = fin_pl_np[0]
         fin_ub_np = np.asarray(fin_ub).transpose(1, 0, 2).reshape(
             UBR, Bp)[:WS + 1, :B]
         scal_np = np.asarray(scal).transpose(1, 0, 2).reshape(8, Bp)[:, :B]
-        fin_rbeg = scal_np[3]
+        fin_rbeg = scal_np[0]
 
         if mt == MODE_GLOBAL:
-            pos = qlen - 1 - fin_rbeg
+            # valid once the band has reached the corner (always true at the
+            # final row); mid-run chunked calls clip — their score is unused
+            pos = np.clip(qlen - 1 - fin_rbeg, 0, BW - 1)
             cums = np.cumsum(fin_us_np, axis=0)
             x = pos % W
             y = pos // W
@@ -786,10 +816,20 @@ def make_forward(T: int, W: int, mode: int, piecewise: int, gapo1: int,
             qe = qlen - 1
             te = tlen - 1
         else:
-            score, qe, te = scal_np[0], scal_np[1], scal_np[2]
+            score, qe, te = scal_np[3], scal_np[4], scal_np[5]
         planes = RowPlanes(us_p, es_p, qs_p, ub_np, begs_np)
         return ForwardResult(planes, score.astype(np.int64), qe, te,
-                             fin_us_np, fin_ub_np, fin_rbeg)
+                             fin_us_np, fin_ub_np, fin_rbeg,
+                             fin_pl_np, scal_np)
+
+    def forward(qpad, qlen, tseq, tlen, mtx5, rby, init_us, init_es, init_qs,
+                init_ub, init_reg=None, row0=0):
+        call, ops, (B, Bp, NB, Tp, qlen, tlen) = prepare(
+            qpad, qlen, tseq, tlen, mtx5, rby, init_us, init_es, init_qs,
+            init_ub, init_reg, row0)
+        outs = call(*ops)
+        return unpack(outs, B, Bp, NB, Tp, qlen, tlen)
 
     forward.prepare = prepare
+    forward.unpack = unpack
     return forward

@@ -108,8 +108,10 @@ def make_sharded_pallas_forward(T, W, mode, piecewise, gapo1, gape1, gapo2,
         nsh = mesh.devices.size
         sharded = P(d)
         repl = P()
-        in_specs = (sharded, sharded, sharded, sharded, repl, repl, repl,
-                    repl, repl)
+        # qch/tseq/rby/qltz + per-pair init state shard on the leading
+        # batch-block axis; mtx5 and row0 replicate
+        in_specs = (sharded, sharded, sharded, sharded, repl, repl,
+                    sharded, sharded, sharded, sharded, sharded)
         out_specs = tuple(sharded for _ in range(9))
 
         def local(*xs):

@@ -34,12 +34,12 @@ def test_sharded_pallas_matches_oracle():
                            es0, qs0, ub0)
     outs = run(call, ops)
     # GLOBAL score from the final state (same math as the adapter)
-    # outs (piecewise=1): us8, es8, ub, begs, fin_us, fin_ub, scal
-    fin_us = np.asarray(outs[-3]).transpose(1, 2, 0, 3).reshape(8, 16, -1)
+    # outs (piecewise=1): us8, es8, ub, begs, fin_us, fin_es, fin_ub, scal
+    fin_us = np.asarray(outs[-4]).transpose(1, 2, 0, 3).reshape(8, 16, -1)
     fin_ub = np.asarray(outs[-2]).transpose(1, 0, 2).reshape(24, -1)
     scal = np.asarray(outs[-1]).transpose(1, 0, 2).reshape(8, -1)
     for b in range(B):
-        rbeg = int(scal[3, b])
+        rbeg = int(scal[0, b])
         pos = int(qlens[b]) - 1 - rbeg
         cums = np.cumsum(fin_us[:, :, b], axis=0)
         got = int(fin_ub[pos // 8, b] + cums[pos % 8, pos // 8])
