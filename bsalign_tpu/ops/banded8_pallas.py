@@ -101,7 +101,8 @@ def _lanes_dn(x, k):
 
 @functools.lru_cache(maxsize=64)
 def _get_call(T, W, mode, piecewise, gapo1, gape1, gapo2, gape2, nt_max,
-              nt_min, BL, Rs, NCH, Tp, NB, uniform_mtx, interpret, S=1):
+              nt_min, BL, Rs, NCH, Tp, NB, uniform_mtx, interpret, S=1,
+              emit_rows=True):
     BW = W * WS
     GapE = gape1
     GapOE = gapo1 + gape1
@@ -590,12 +591,13 @@ def _get_call(T, W, mode, piecewise, gapo1, gape1, gapo2, gape2, nt_max,
                 s_reg[s, REG_BTE:REG_BTE + 1] = jnp.where(
                     upd, i, s_reg[s, REG_BTE:REG_BTE + 1])
 
-            # --- stage per-row outputs ---
-            for po, p1 in zip(pl_outs, new_planes):
-                po[s, r] = p1.astype(jnp.int8)
-            ub_o[s, r] = jnp.concatenate(
-                [ub1, jnp.zeros((UBR - WS - 1, BL), I32)], axis=0)
-            begs_o[s, r:r + 1] = rbeg_n
+            # --- stage per-row outputs (scores-only mode emits none) ---
+            if emit_rows:
+                for po, p1 in zip(pl_outs, new_planes):
+                    po[s, r] = p1.astype(jnp.int8)
+                ub_o[s, r] = jnp.concatenate(
+                    [ub1, jnp.zeros((UBR - WS - 1, BL), I32)], axis=0)
+                begs_o[s, r:r + 1] = rbeg_n
             # --- freeze inactive pairs, write back state ---
             am = active[None]
             for sp, old, new in zip(s_planes, planes, new_planes):
@@ -639,21 +641,26 @@ def _get_call(T, W, mode, piecewise, gapo1, gape1, gapo2, gape2, nt_max,
         pl.BlockSpec((S, 8, BL), lambda b, tc: (b, 0, 0),
                      memory_space=vm),                       # init reg
     ]
-    plane_shape = jax.ShapeDtypeStruct((NB, Tp, W, WS, BL), jnp.int8)
-    plane_spec = pl.BlockSpec((S, Rs, W, WS, BL),
-                              lambda b, tc: (b, tc, 0, 0, 0), memory_space=vm)
+    Tpo = Tp if emit_rows else Rs      # scores-only: 1-chunk dummy rows
+    po_ix = ((lambda b, tc: (b, tc, 0, 0, 0)) if emit_rows
+             else (lambda b, tc: (b, 0, 0, 0, 0)))
+    ub_ix = ((lambda b, tc: (b, tc, 0, 0)) if emit_rows
+             else (lambda b, tc: (b, 0, 0, 0)))
+    bg_ix = ((lambda b, tc: (b, tc, 0)) if emit_rows
+             else (lambda b, tc: (b, 0, 0)))
+    plane_shape = jax.ShapeDtypeStruct((NB, Tpo, W, WS, BL), jnp.int8)
+    plane_spec = pl.BlockSpec((S, Rs, W, WS, BL), po_ix, memory_space=vm)
     fin_plane_shape = jax.ShapeDtypeStruct((NB, W, WS, BL), I32)
     out_shape = [plane_shape] * n_pl + [
-        jax.ShapeDtypeStruct((NB, Tp, UBR, BL), I32),
-        jax.ShapeDtypeStruct((NB, Tp, BL), I32),
+        jax.ShapeDtypeStruct((NB, Tpo, UBR, BL), I32),
+        jax.ShapeDtypeStruct((NB, Tpo, BL), I32),
     ] + [fin_plane_shape] * n_pl + [
         jax.ShapeDtypeStruct((NB, UBR, BL), I32),
         jax.ShapeDtypeStruct((NB, 8, BL), I32),
     ]
     out_specs = [plane_spec] * n_pl + [
-        pl.BlockSpec((S, Rs, UBR, BL), lambda b, tc: (b, tc, 0, 0),
-                     memory_space=vm),
-        pl.BlockSpec((S, Rs, BL), lambda b, tc: (b, tc, 0), memory_space=vm),
+        pl.BlockSpec((S, Rs, UBR, BL), ub_ix, memory_space=vm),
+        pl.BlockSpec((S, Rs, BL), bg_ix, memory_space=vm),
     ] + [state_spec] * n_pl + [
         pl.BlockSpec((S, UBR, BL), lambda b, tc: (b, 0, 0), memory_space=vm),
         pl.BlockSpec((S, 8, BL), lambda b, tc: (b, 0, 0), memory_space=vm),
@@ -678,7 +685,7 @@ def _get_call(T, W, mode, piecewise, gapo1, gape1, gapo2, gape2, nt_max,
 def make_forward(T: int, W: int, mode: int, piecewise: int, gapo1: int,
                  gape1: int, gapo2: int, gape2: int, nt_max: int, nt_min: int,
                  jit: bool = True, *, BL: int = 128, Rs: int = 16,
-                 S: int = 1, interpret=None):
+                 S: int = 1, scores_only: bool = False, interpret=None):
     """Drop-in replacement for banded8_jax.make_forward using the Pallas
     kernel. Same call signature and ForwardResult contract.
 
@@ -765,7 +772,7 @@ def make_forward(T: int, W: int, mode: int, piecewise: int, gapo1: int,
 
         call = _get_call(T, W, mode, piecewise, gapo1, gape1, gapo2, gape2,
                          nt_max, nt_min, BL, Rs, NCH, Tp, NB, uniform,
-                         bool(interpret), S)
+                         bool(interpret), S, not scores_only)
         qltz = np.zeros((NB, 8, BL), np.int32)
         qltz[:, 0] = ql_f.reshape(NB, BL)
         qltz[:, 1] = tl_f.reshape(NB, BL)
@@ -782,6 +789,8 @@ def make_forward(T: int, W: int, mode: int, piecewise: int, gapo1: int,
         fin_ub, scal = outs[2 * n_pl + 2:2 * n_pl + 4]
 
         def planes_to_host(x):
+            if scores_only:
+                return None
             a = np.asarray(x)            # [NB, Tp, W, WS, BL]
             a = a.transpose(1, 2, 3, 0, 4).reshape(Tp, BW, Bp)
             return a[:T, :, :B]
@@ -793,10 +802,13 @@ def make_forward(T: int, W: int, mode: int, piecewise: int, gapo1: int,
         us_p = planes_to_host(plane_outs[0])
         es_p = planes_to_host(plane_outs[1]) if piecewise >= 1 else None
         qs_p = planes_to_host(plane_outs[2]) if piecewise == 2 else None
-        ub_np = np.asarray(ub_o).transpose(1, 2, 0, 3).reshape(
-            Tp, UBR, Bp)[:T, :WS + 1, :B]
-        begs_np = np.asarray(begs).transpose(1, 0, 2).reshape(
-            Tp, Bp)[:T, :B]
+        if scores_only:
+            ub_np = begs_np = None
+        else:
+            ub_np = np.asarray(ub_o).transpose(1, 2, 0, 3).reshape(
+                Tp, UBR, Bp)[:T, :WS + 1, :B]
+            begs_np = np.asarray(begs).transpose(1, 0, 2).reshape(
+                Tp, Bp)[:T, :B]
         fin_pl_np = [fin_to_host(x) for x in fin_planes]
         fin_us_np = fin_pl_np[0]
         fin_ub_np = np.asarray(fin_ub).transpose(1, 0, 2).reshape(

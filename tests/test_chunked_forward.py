@@ -33,6 +33,26 @@ def _pairs(B, L, seed):
     return qs, ts
 
 
+def test_scores_only_matches_full():
+    """Scores-only mode (zero per-row plane output, bsalign.h score-mode
+    analog) must produce identical scores/ends to the full forward."""
+    from bsalign_tpu.ops import banded8_pallas as KP
+    qs, ts = _pairs(5, 500, seed=4)
+    mtx = O.set_score_matrix(2, -6)
+    qpad, qlens, tpad, tlens, rby, T = P._pack_batch(qs, ts, 128)
+    us0, es0, qs0, ub0, _ = P._init_state(0, 128, 1, 2, -6, -3, -2, 0, 0,
+                                          len(qs))
+    args = (qpad, qlens, tpad, tlens, P._mtx5(mtx), rby, us0, es0, qs0, ub0)
+    kw = dict(BL=8, Rs=8)
+    r1 = KP.make_forward(T, 8, 0, 1, -3, -2, 0, 0, 2, -6, **kw)(*args)
+    r2 = KP.make_forward(T, 8, 0, 1, -3, -2, 0, 0, 2, -6, scores_only=True,
+                         **kw)(*args)
+    assert np.array_equal(np.asarray(r1.score), np.asarray(r2.score))
+    assert np.array_equal(np.asarray(r1.final_rbeg),
+                          np.asarray(r2.final_rbeg))
+    assert r2.planes.us is None
+
+
 @pytest.mark.parametrize("mode", [0, 1])
 def test_chunked_equals_single(mode, monkeypatch):
     import jax
