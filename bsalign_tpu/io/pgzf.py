@@ -17,7 +17,7 @@ import io
 import os
 import struct
 import zlib
-from typing import BinaryIO, Optional
+from typing import BinaryIO
 
 from ..utils.workers import OrderedPool, Prefetcher
 

@@ -1383,7 +1383,6 @@ class BSPOA:
             sc, btm, lbm, bs, cols, mlen, nseq, dptable, dpvals,
             min_freq_calq)
         pos = mlen - 1
-        pos = mlen - 1
         c = 4
         for a in range(4):
             if sc[a, pos + 1, 5] > sc[c, pos + 1, 5]:

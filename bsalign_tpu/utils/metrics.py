@@ -12,7 +12,7 @@ import sys
 import time
 from collections import defaultdict
 from contextlib import contextmanager
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Dict
 
 _VERBOSE = int(os.environ.get("BSA_VERBOSE", "0") or 0)
