@@ -177,6 +177,11 @@ def rowops_lib():
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long, ctypes.c_long,
             ctypes.c_long]
         lib.bsa_mask_lead_tail.restype = None
+        lib.bsa_remsa_round.argtypes = \
+            [ctypes.c_void_p] * 17 + [ctypes.c_long] + \
+            [ctypes.c_void_p] * 4 + [ctypes.c_long] * 2 + \
+            [ctypes.c_void_p] * 6 + [ctypes.c_long] * 6
+        lib.bsa_remsa_round.restype = ctypes.c_long
         lib.bsa8_backcal.argtypes = [
             ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p, ctypes.c_long,
             ctypes.c_void_p, ctypes.c_void_p,

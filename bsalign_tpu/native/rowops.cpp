@@ -3167,3 +3167,74 @@ extern "C" void bsa_mask_lead_tail(uint8_t *msacols, const i64 *msaidxs,
         }
     }
 }
+
+// ---- whole remsa round in one call (bspoa.h:4178-4457 core-read loop) ----
+// For each core read: cut the chain out of the rings, rebuild the read-side
+// profile operands from mpos/base, run the pedit forward + traceback
+// (ring merges), reconnect the chain. Capacity-checked per read: returns
+// the first unprocessed rid when edge headroom runs low (caller encaps and
+// resumes), nrds when done, negative on hard errors.
+extern "C" long bsa_remsa_round(
+    GFULL_ARGS, long nnodes,
+    const i32 *nd_mpos, const i32 *nd_base,
+    const i64 *ndoffs, const i64 *rdlens, long nrds, long start_rid,
+    uint8_t *seqs0, uint8_t *mats0,
+    const uint8_t *seqs1, const uint8_t *mats1,
+    uint8_t *matrix0, uint8_t *matrix1,
+    long mlen, long bw, long HW, long rowlen, long pad,
+    long nseq_plus1) {
+    for (long rid = start_rid; rid < nrds; rid++) {
+        const long rdlen = rdlens[rid];
+        if (rdlen == 0) continue;
+        // per-read headroom: cuts/merges move bounded-degree edge lists;
+        // 12 slots per base + slack covers the worst observed growth
+        if (estate[0] + 12 * rdlen + 4096 >= estate[2]) return rid;
+        const long qb = 0, qe = rdlen;
+        const long base_idx = ndoffs[rid];
+        const long mbeg = nd_mpos[base_idx + qb];
+        const long mend = nd_mpos[base_idx + qe - 1] + 1;
+        memset(seqs0, 4, pad);
+        memset(mats0, 0, 4 * pad);
+        long lc = 4, cc = 0;
+        {
+            const long r = bsa_g_cut_range(
+                nd_rid, nd_cov, nd_rdc, nd_rdd, nd_nin, nd_nou, nd_edge,
+                nd_erev, nd_next, nd_prev, nd_header, ed_node, ed_cov,
+                ed_vst, ed_next, estate, ecyc, nnodes, base_idx, qb, qe, 3);
+            if (r < 0) return -1;
+        }
+        for (long i = qe; i > qb; i--) {
+            const long ni = base_idx + i - 1;
+            const long mp = nd_mpos[ni];
+            const long b = nd_base[ni];
+            seqs0[HW + mp] = (uint8_t)b;
+            if (b == lc) {
+                if (cc < 255) cc++;
+                mats0[b * pad + HW + mp] = (uint8_t)cc;
+            } else {
+                lc = b;
+                cc = 0;
+            }
+        }
+        bsa_pedit_forward(matrix0, matrix1, seqs0, seqs1, mats0, mats1,
+                          (int)mlen, (int)mbeg, (int)mend, (int)bw, (int)HW,
+                          (int)rowlen, pad);
+        {
+            const long r = bsa_pedit_traceback(
+                nd_rid, nd_cov, nd_rdc, nd_rdd, nd_nin, nd_nou, nd_edge,
+                nd_erev, nd_next, nd_prev, nd_header, ed_node, ed_cov,
+                ed_vst, ed_next, estate, ecyc,
+                matrix0, matrix1, seqs0, seqs1, mats0, mats1, ndoffs,
+                mlen, mbeg, mend, HW, rowlen, pad, rid, nseq_plus1, qe);
+            if (r < 0) return -3;
+        }
+        {
+            const long r = bsa_g_connect_range(
+                nd_rid, nd_cov, nd_rdc, nd_rdd, nd_nin, nd_nou, nd_edge,
+                nd_erev, nd_next, nd_prev, nd_header, ed_node, ed_cov,
+                ed_vst, ed_next, estate, ecyc, base_idx, 0, rdlen);
+            if (r < 0) return -4;
+        }
+    }
+    return nrds;
+}

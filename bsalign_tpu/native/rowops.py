@@ -356,6 +356,25 @@ def g_cut_range(g, rid, lo, hi, cut):
         raise RuntimeError("native cut_range failed")
 
 
+def remsa_round(g, nnodes, ndoffs_arr, rdlens_arr, nrds, start_rid, seqs0,
+                mats0, seqs1, mats1, matrix0, matrix1, mlen, bw, HW, rowlen,
+                pad, nseq_plus1, mpos_arr, base_arr):
+    """One whole remsa round (cut + profile rebuild + pedit forward +
+    traceback merges + reconnect) for core reads [start_rid, nrds) in a
+    single native call. Returns the next unprocessed rid (== nrds when
+    done; the caller encaps edges and resumes on early return)."""
+    r = rowops_lib().bsa_remsa_round(
+        *gfull_args(g), nnodes,
+        mpos_arr.ctypes.data, base_arr.ctypes.data,
+        ndoffs_arr.ctypes.data, rdlens_arr.ctypes.data, nrds, start_rid,
+        seqs0.ctypes.data, mats0.ctypes.data, seqs1.ctypes.data,
+        mats1.ctypes.data, matrix0.ctypes.data, matrix1.ctypes.data,
+        mlen, bw, HW, rowlen, pad, nseq_plus1)
+    if r < 0:
+        raise RuntimeError(f"native remsa_round failed ({r})")
+    return int(r)
+
+
 def hp_adjust(mlen, cnsrow, cnt, cap255):
     """Native homopolymer count re-attribution over a [mlen,4] int64 count
     matrix (in place); cnsrow is the uint8 consensus row."""

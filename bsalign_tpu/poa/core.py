@@ -1759,7 +1759,26 @@ class BSPOA:
                 self.nrds = self.nseq
             return
 
-        for rid in range(self.nseq):
+        ncore = min(self.nseq, nseq)
+        rid_start = 0
+        if g._native is not None and isinstance(self.msacols, np.ndarray):
+            # all core reads in ONE native call per capacity window: cut +
+            # profile rebuild + pedit forward + traceback + reconnect
+            from .graph import ND_BASE, ND_MPOS
+            ndoffs_arr = np.asarray(g.ndoffs, np.int64)
+            rdl = np.array([self.rdlen(r) for r in range(ncore)], np.int64)
+            start = 0
+            while start < ncore:
+                g._encap_edges(12 * int(rdl[start]) + 8192)
+                ndoffs_arr = np.asarray(g.ndoffs, np.int64)
+                r = NR.remsa_round(
+                    g, len(g.nodes), ndoffs_arr, rdl, ncore, start, seqs0,
+                    mats0, seqs1, mats1, matrix0, matrix1, mlen, bandwidth,
+                    HW, rowlen, pad, self.nseq + 1,
+                    g._nd[ND_MPOS], g._nd[ND_BASE])
+                start = r
+            rid_start = ncore
+        for rid in range(rid_start, self.nseq):
             rdlen = self.rdlen(rid)
             if rdlen == 0:
                 continue
