@@ -290,3 +290,18 @@ def kmer_edit_batch(ksz: int, qseqs: Sequence[np.ndarray],
             qb, tb = qe + 1, te + 1
         results.append((RS, cigars))
     return results
+
+
+def epi2_edit_batch(qseqs: Sequence[np.ndarray], tseqs: Sequence[np.ndarray]
+                    ) -> List[Tuple[AlnResult, List[int]]]:
+    """Library equivalent of the reference's 2-bit packed full-matrix edit
+    engine (striped_epi2_seqedit_pairwise, bsalign.h:1538-2082).
+
+    The epi2 variant is an alternative SIMD packing (2-bit codes in xint
+    lanes) of the SAME global full-matrix +-1 delta recurrence; its
+    outputs are identical to the 64-bit-word engine at bandwidth 0, so
+    this maps onto the batched bit-plane kernel rather than duplicating a
+    packing scheme the TPU has no use for. (The reference's epi2
+    row_merge is marked UN-FINISHED upstream, :1796, and nothing in
+    main.c calls the epi2 path.)"""
+    return edit_batch(qseqs, tseqs, MODE_GLOBAL, 0)
