@@ -50,6 +50,12 @@ def _adds8(a, b):
     return jnp.clip(a + b, -128, 127)
 
 
+def _adds8_nonpos(a, b):
+    """Saturating add where a <= 0 always (stored e'/q' planes are clamped
+    into [gap-open-extend, 0]): the +127 clip can never bite."""
+    return jnp.maximum(a + b, -128)
+
+
 def _addc8(a, c):
     """Saturating add of a compile-time nonpositive constant."""
     assert c <= 0
@@ -320,7 +326,7 @@ def _get_call(T, W, mode, piecewise, gapo1, gape1, gapo2, gape2, nt_max,
                 f = _addc8(h, GapE)
                 f = _subs8(f, u)
             elif piecewise == 1:
-                e = _adds8(es0[x], u)
+                e = _adds8_nonpos(es0[x], u)
                 h = jnp.maximum(e, h)
                 h = jnp.maximum(f, h)
                 f = _addc8(f, GapE)
@@ -328,8 +334,8 @@ def _get_call(T, W, mode, piecewise, gapo1, gape1, gapo2, gape2, nt_max,
                 f = jnp.maximum(f, h)
                 f = _subs8(f, u)
             else:
-                e = _adds8(es0[x], u)
-                q = _adds8(qs0[x], u)
+                e = _adds8_nonpos(es0[x], u)
+                q = _adds8_nonpos(qs0[x], u)
                 h = jnp.maximum(e, h)
                 h = jnp.maximum(q, h)
                 h = jnp.maximum(f, h)
@@ -365,7 +371,7 @@ def _get_call(T, W, mode, piecewise, gapo1, gape1, gapo2, gape2, nt_max,
                 f = _addc8(h, GapE)
                 f = _subs8(f, u)
             elif piecewise == 1:
-                e = _adds8(es0[x], u)
+                e = _adds8_nonpos(es0[x], u)
                 h = jnp.maximum(e, z)
                 h = jnp.maximum(f, h)
                 us1_l.append(_subs8(h, v))
@@ -379,9 +385,9 @@ def _get_call(T, W, mode, piecewise, gapo1, gape1, gapo2, gape2, nt_max,
                 f = jnp.maximum(f, h)
                 f = _subs8(f, u)
             else:
-                e = _adds8(es0[x], u)
+                e = _adds8_nonpos(es0[x], u)
                 h = jnp.maximum(e, z)
-                q = _adds8(qs0[x], u)
+                q = _adds8_nonpos(qs0[x], u)
                 h = jnp.maximum(q, h)
                 h = jnp.maximum(f, h)
                 h = jnp.maximum(g, h)
