@@ -205,9 +205,27 @@ def pack_jobs(jobs, R, Rs, NT):
         return j.mats1[p - 6]
 
     nfeed = NT * Half  # global shift slots
+    # chunk tcb local slot sl holds global slot k = tcb*Half - 1 + sl
+    # (the boundary slot duplicates into the next chunk's slot 0)
+    gk = (np.arange(NT)[:, None] * Half - 1
+          + np.arange(Half + 1)[None, :])               # [NT, Half+1]
+    ok = (gk >= 0) & (gk < nfeed)
+    gkc = np.clip(gk, 0, max(nfeed - 1, 0))
+
+    def spread(vals, default):
+        """vals [nfeed] -> per-chunk slot matrix [NT, Half+1]."""
+        return np.where(ok, vals[gkc], default)
+
+    idx_x = np.arange(nfeed)
     for ji, j in enumerate(jobs):
         pad = len(j.seqs0)
         s0 = j.mlen - 1 - j.mbeg
+        ix = j.mbeg + LW + idx_x
+        ix_ok = ix < pad
+        ixc = np.minimum(ix, pad - 1)
+        iy = s0 - 1 - idx_x
+        iy_ok = (iy >= 0) & (iy < pad)
+        iyc = np.clip(iy, 0, pad - 1)
         for p in range(5):
             pl_ = xplane(j, p)
             # init window: raw [mbeg, mbeg+LW)
@@ -215,17 +233,9 @@ def pack_jobs(jobs, R, Rs, NT):
             hi = min(j.mbeg + LW, pad)
             if hi > lo:
                 init[p, ji, :hi - lo] = pl_[lo:hi]
-            elif p == 0:
-                pass  # stays 4
             # feed slot k (global) inserts raw [mbeg + k + LW]
-            idx = j.mbeg + LW + np.arange(nfeed)
-            vals = np.where(idx < pad, pl_[np.minimum(idx, pad - 1)],
-                            4 if p == 0 else 0)
-            for tcb in range(NT):
-                # chunk tcb local slots [0, Half]: global k = tcb*Half-1+sl
-                gk = tcb * Half - 1 + np.arange(Half + 1)
-                ok = (gk >= 0) & (gk < nfeed)
-                feed[tcb, p, ji, ok] = vals[gk[ok]]
+            vals = np.where(ix_ok, pl_[ixc], 4 if p == 0 else 0)
+            feed[:, p, ji, :] = spread(vals, 4 if p == 0 else 0)
         for p in range(5, NPL):
             pl_ = yplane(j, p)
             lo = s0
@@ -237,13 +247,8 @@ def pack_jobs(jobs, R, Rs, NT):
                 if hi > lo2:
                     init[p, ji, lo2 - lo:hi - lo] = pl_[lo2:hi]
             # feed slot k inserts raw [s0 - k - 1]
-            idx = s0 - 1 - np.arange(nfeed)
-            vals = np.where((idx >= 0) & (idx < pad),
-                            pl_[np.clip(idx, 0, pad - 1)], 0)
-            for tcb in range(NT):
-                gk = tcb * Half - 1 + np.arange(Half + 1)
-                ok = (gk >= 0) & (gk < nfeed)
-                feed[tcb, p, ji, ok] = vals[gk[ok]]
+            vals = np.where(iy_ok, pl_[iyc], 0)
+            feed[:, p, ji, :] = spread(vals, 0)
     return jnp.asarray(init), jnp.asarray(feed)
 
 
