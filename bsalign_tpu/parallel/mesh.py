@@ -78,9 +78,18 @@ def make_sharded_edit_forward(T, NW, mode, NWQ, win_chunked, mesh: Mesh):
     return jax.jit(fwd, in_shardings=in_sh)
 
 
+def mesh_interpret_default(mesh: Mesh):
+    """Pallas interpret-mode default for a mesh: interpret on CPU devices.
+
+    Decided from the mesh's actual devices, NOT jax.default_backend() —
+    under the axon TPU plugin the default backend is 'tpu' even when the
+    mesh is built from virtual CPU devices (the round-2 dryrun failure)."""
+    return mesh.devices.flat[0].platform == "cpu"
+
+
 def make_sharded_pallas_forward(T, W, mode, piecewise, gapo1, gape1, gapo2,
                                 gape2, nt_max, nt_min, mesh: Mesh,
-                                BL=128, Rs=16):
+                                BL=128, Rs=16, interpret=None):
     """Shard the Pallas banded-8 kernel over the mesh data axis.
 
     The kernel's leading operand axis is the batch-block (NB); shard_map
@@ -96,8 +105,10 @@ def make_sharded_pallas_forward(T, W, mode, piecewise, gapo1, gape1, gapo2,
 
     from ..ops import banded8_pallas as KP
 
+    if interpret is None:
+        interpret = mesh_interpret_default(mesh)
     fwd = KP.make_forward(T, W, mode, piecewise, gapo1, gape1, gapo2, gape2,
-                          nt_max, nt_min, BL=BL, Rs=Rs)
+                          nt_max, nt_min, BL=BL, Rs=Rs, interpret=interpret)
 
     def prepare(*args):
         return fwd.prepare(*args)
@@ -105,28 +116,48 @@ def make_sharded_pallas_forward(T, W, mode, piecewise, gapo1, gape1, gapo2,
     d = DATA_AXIS
 
     def run(call, ops):
+        # The kernel program is compiled per batch-block count; inside
+        # shard_map each device sees only its local NB/nsh blocks, so the
+        # global `call` from prepare() is rebuilt for the local block count
+        # (same cached program across devices — SPMD).
         nsh = mesh.devices.size
+        NB, NCH = ops[0].shape[0], ops[0].shape[1]
+        pad = (-NB) % nsh
+        if pad:
+            # pad with copies of the last block (valid pair data, results
+            # discarded) so the block count divides the mesh; strip below
+            repl_ix = (4, 5)  # m8, r0 replicate; everything else is [NB,…]
+            ops = tuple(
+                o if i in repl_ix else
+                np.concatenate([o, np.repeat(o[-1:], pad, axis=0)], axis=0)
+                for i, o in enumerate(ops))
+        NBp = NB + pad
+        Tp = ops[1].shape[1] * Rs          # tsk is [NB, Tp//Rs, Rs, BL]
+        m8 = np.asarray(ops[4])
+        off = ~np.eye(4, dtype=bool)
+        uniform = bool(np.all(np.diag(m8[:4, :4]) == m8[0, 0])
+                       and np.all(m8[:4, :4][off] == m8[0, 1]))
+        local_call = KP._get_call(
+            T, W, mode, piecewise, gapo1, gape1, gapo2, gape2, nt_max,
+            nt_min, BL, Rs, NCH, Tp, NBp // nsh, uniform, bool(interpret))
         sharded = P(d)
         repl = P()
         # qch/tseq/rby/qltz + per-pair init state shard on the leading
         # batch-block axis; mtx5 and row0 replicate
         in_specs = (sharded, sharded, sharded, sharded, repl, repl,
                     sharded, sharded, sharded, sharded, sharded)
-        out_specs = tuple(sharded for _ in range(9))
-
-        def local(*xs):
-            return call(*xs)
-
-        # out structure depends on piecewise; probe via eval_shape
-        outs = jax.eval_shape(call, *ops)
-        out_specs = tuple(sharded for _ in outs)
+        n_pl = 1 if piecewise == 0 else (2 if piecewise == 1 else 3)
+        out_specs = tuple(sharded for _ in range(2 * n_pl + 4))
         try:
-            f = shard_map(local, mesh=mesh, in_specs=in_specs,
+            f = shard_map(local_call, mesh=mesh, in_specs=in_specs,
                           out_specs=out_specs, check_vma=False)
         except TypeError:  # older jax spelling
-            f = shard_map(local, mesh=mesh, in_specs=in_specs,
+            f = shard_map(local_call, mesh=mesh, in_specs=in_specs,
                           out_specs=out_specs, check_rep=False)
-        return jax.jit(f)(*ops)
+        outs = jax.jit(f)(*ops)
+        if pad:
+            outs = tuple(o[:NB] for o in outs)
+        return outs
 
     return run, prepare
 
@@ -144,7 +175,7 @@ def sharded_pedit_forward(jobs, mesh: Mesh, Rs=16, interpret=None):
     from ..ops import pedit_pallas as PP
 
     if interpret is None:
-        interpret = jax.default_backend() == "cpu"
+        interpret = mesh_interpret_default(mesh)
     nsh = mesh.devices.size
     bw, HW = jobs[0].bw, jobs[0].HW
     R1 = max(8, -(-len(jobs) // nsh))
