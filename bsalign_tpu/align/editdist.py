@@ -69,24 +69,20 @@ def _qeq_planes(qseqs: Sequence[np.ndarray], NWQ: int) -> np.ndarray:
     return out
 
 
-def _unpack_u(pm: np.ndarray, pp: np.ndarray, bw: int) -> np.ndarray:
-    """bit-planes [NW] uint32 -> int8 u values [bw]."""
-    bits_m = np.unpackbits(pm.astype(">u4").view(np.uint8).reshape(-1, 4)
-                           [:, ::-1], axis=1, bitorder="little").reshape(-1)
-    bits_p = np.unpackbits(pp.astype(">u4").view(np.uint8).reshape(-1, 4)
-                           [:, ::-1], axis=1, bitorder="little").reshape(-1)
-    return (bits_p.astype(np.int8) - bits_m.astype(np.int8))[:bw]
+def _unpack_u_rows(pm: np.ndarray, pp: np.ndarray, bw: int) -> np.ndarray:
+    """Bit-planes [R, NW] uint32 -> [R, bw] int8 u values, all rows at once.
 
-
-def _unpack_u_simple(pm: np.ndarray, pp: np.ndarray, bw: int) -> np.ndarray:
-    NW = len(pm)
-    u = np.zeros(bw, np.int8)
-    idx = np.arange(bw)
-    w = idx // 32
-    b = idx % 32
-    mbit = (pm[w] >> b) & 1
-    pbit = (pp[w] >> b) & 1
-    return (pbit.astype(np.int8) - mbit.astype(np.int8))
+    Band position p maps to bit p%32 of word p//32 (striped_seqedit_getval,
+    bsalign.h:224): little-endian byte+bit order, so one unpackbits over the
+    raw bytes decodes a whole pair's row block without a Python row loop."""
+    R = pm.shape[0]
+    mb = np.unpackbits(
+        np.ascontiguousarray(pm, np.uint32).view(np.uint8).reshape(R, -1),
+        axis=1, bitorder="little")[:, :bw]
+    pb = np.unpackbits(
+        np.ascontiguousarray(pp, np.uint32).view(np.uint8).reshape(R, -1),
+        axis=1, bitorder="little")[:, :bw]
+    return pb.astype(np.int8) - mb.astype(np.int8)
 
 
 def _edit_bucket(qseqs, tseqs, mode, bandwidth, banded
@@ -131,8 +127,7 @@ def _edit_bucket(qseqs, tseqs, mode, bandwidth, banded
             out.append((AlnResult(), []))
             continue
         uts = np.ones((tlen + 1, bw), np.int8)
-        for i in range(tlen):
-            uts[i + 1] = _unpack_u_simple(pm_t[i, :, b], pp_t[i, :, b], bw)
+        uts[1:] = _unpack_u_rows(pm_t[:tlen, :, b], pp_t[:tlen, :, b], bw)
         begs = [0] + [int(rbegs[i, b]) for i in range(tlen)]
         rx, ry = qlen - 1, tlen - 1
         sm = int(smin[b])
