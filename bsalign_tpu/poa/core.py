@@ -557,18 +557,29 @@ class BSPOA:
             if y > 1:
                 ii = np.arange(1, y, dtype=np.int64)
                 rmap[1:y] = ii * self.qb // (y + 1)
-            for cgv in cgs:
-                op = cgv & 0xF
-                sz = cgv >> 4
-                if op in (0, 7, 8):
-                    rmap[y:y + sz] = x + np.arange(sz, dtype=np.int64)
-                    y += sz
-                    x += sz
-                elif op in (1, 4):
-                    x += sz
-                elif op in (2, 3, 5):
-                    rmap[y:y + sz] = x
-                    y += sz
+            # vectorized run walk (one pass instead of a per-run loop):
+            # M-type runs write x+0..sz-1 at y..y+sz-1, D-type write x
+            cga = np.asarray(cgs, np.int64)
+            ops = cga & 0xF
+            szs = cga >> 4
+            is_m = (ops == 0) | (ops == 7) | (ops == 8)
+            is_d = (ops == 2) | (ops == 3) | (ops == 5)
+            qadv = np.where(is_m | (ops == 1) | (ops == 4), szs, 0)
+            radv = np.where(is_m | is_d, szs, 0)
+            x0 = x + np.cumsum(qadv) - qadv
+            y0 = y + np.cumsum(radv) - radv
+            sel = is_m | is_d
+            if np.any(sel):
+                szs_s = szs[sel]
+                tot = int(szs_s.sum())
+                off = (np.arange(tot, dtype=np.int64)
+                       - np.repeat(np.cumsum(szs_s) - szs_s, szs_s))
+                ypos = np.repeat(y0[sel], szs_s) + off
+                vals = np.repeat(x0[sel], szs_s) \
+                    + np.where(np.repeat(is_m[sel], szs_s), off, 0)
+                rmap[ypos] = vals
+            x += int(qadv.sum())
+            y += int(radv.sum())
             if reflen > y:
                 jj = np.arange(y, reflen, dtype=np.int64)
                 rmap[y:reflen] = x + (jj - y + 1) * (self.slen - x) \
@@ -2048,23 +2059,28 @@ class BSPOA:
         return scr
 
     # ------------------------------------------------------- tidy + SNV
-    def _find_top2(self, col, nseq, calc_n):
-        bcnts = [0] * 6
-        for rid in range(nseq):
-            b = int(col[rid])
-            if b <= 4:
-                bcnts[b] += 1
-                bcnts[5] += 1
-        if bcnts[0] >= bcnts[1]:
-            m1, m2 = 0, 1
-        else:
-            m1, m2 = 1, 0
+    def _top2_all(self, nseq, calc_n):
+        """Per-column base counts and top-2 bases for every MSA column at
+        once (vectorized form of the reference's per-column scan in
+        call_snvs/tidy, bspoa.h:4834-5049, exact tie-break order).
+
+        Returns (bcnts [mlen, 6], m1 [mlen], m2 [mlen])."""
+        idxs = np.asarray(self.msaidxs, np.int64)
+        cols = self.msacols[idxs][:, :nseq]
+        mlen = len(idxs)
+        bcnts = np.zeros((mlen, 6), np.int64)
+        for b in range(5):
+            bcnts[:, b] = np.count_nonzero(cols == b, axis=1)
+        bcnts[:, 5] = bcnts[:, :5].sum(axis=1)
+        m1 = np.where(bcnts[:, 0] >= bcnts[:, 1], 0, 1)
+        m2 = 1 - m1
+        rows = np.arange(mlen)
         for i in range(2, 5 if calc_n else 4):
-            if bcnts[i] > bcnts[m1]:
-                m2 = m1
-                m1 = i
-            elif bcnts[i] > bcnts[m2]:
-                m2 = i
+            bi = bcnts[:, i]
+            gt1 = bi > bcnts[rows, m1]
+            gt2 = (~gt1) & (bi > bcnts[rows, m2])
+            m2 = np.where(gt1, m1, np.where(gt2, i, m2))
+            m1 = np.where(gt1, i, m1)
         return bcnts, m1, m2
 
     def tidy_msa(self):
@@ -2076,13 +2092,17 @@ class BSPOA:
         lc = 4
         lq = 0
         lpos = None
-        lcol = None
-        for pos in range(mlen):
+        idxs = np.asarray(self.msaidxs, np.int64)
+        qlt_all = self.msacols[idxs][:, nall + 2].astype(np.int64)
+        bc_all, m1_all, m2_all = self._top2_all(nseq, 1)
+        # precomputed per-column stats stay valid: the tenon-mortise fix
+        # only mutates columns at or before the current position
+        for pos in np.flatnonzero(qlt_all >= self.par.althi).tolist():
             col = self.msacols[self.msaidxs[pos]]
-            qlt = int(col[nall + 2])
-            if qlt < self.par.althi:
-                continue
-            bcnts, m1, m2 = self._find_top2(col, nseq, 1)
+            qlt = int(qlt_all[pos])
+            bcnts = bc_all[pos]
+            m1 = int(m1_all[pos])
+            m2 = int(m2_all[pos])
             alt = 4
             gap = 0
             if m1 == 4 and bcnts[m2]:
@@ -2152,14 +2172,14 @@ class BSPOA:
         psums = np.zeros(pcnt, np.float32)
         acnts = np.zeros(acnt, np.int64)
         mincov = max(2, int(np.float32(realnseq * np.float32(self.par.min_covfrq))))
-        for pos in range(mlen):
-            col = self.msacols[self.msaidxs[pos]]
-            bcnts, m1, m2 = self._find_top2(col, nseq, 0)
-            if bcnts[m1] + bcnts[m2] >= mincov:
-                covn = bcnts[5]
-                altn = bcnts[m2]
-                if altn * realnseq + covn - 1 < acnt:
-                    acnts[altn * realnseq + covn - 1] += 1
+        bc_all, m1_all, m2_all = self._top2_all(nseq, 0)
+        rows_ix = np.arange(len(bc_all))
+        bm1 = bc_all[rows_ix, m1_all]
+        bm2 = bc_all[rows_ix, m2_all]
+        covs = bc_all[:, 5]
+        sel = bm1 + bm2 >= mincov
+        keys = bm2[sel] * realnseq + covs[sel] - 1
+        np.add.at(acnts, keys[keys < acnt], 1)
         for i in range(1, acnt):
             if acnts[i] == 0:
                 continue
@@ -2191,22 +2211,23 @@ class BSPOA:
                 pexp = i * pinc
                 perr = float(psums[i])
         self.var = []
-        lpos = 0
-        for pos in range(mlen):
-            col = self.msacols[self.msaidxs[pos]]
-            bcnts, m1, m2 = self._find_top2(col, nseq, 0)
-            if m1 < 4 and m2 < 4 and bcnts[m2] >= self.par.min_varcnt \
-                    and bcnts[m1] + bcnts[m2] >= mincov:
-                prob = cal_binomial(bcnts[5], bcnts[m2], pexp)
-                qual = int(-(prob / math.log(10)))
-                if qual > 1000:
-                    qual = 1000
-                if qual >= self.par.min_snvqlt:
-                    self.var.append(dict(cpos=lpos, mpos=pos, covn=bcnts[5],
-                                         refn=bcnts[m1], refb=m1,
-                                         altn=bcnts[m2], altb=m2, qual=qual))
-            if col[nall] < 4:
-                lpos += 1
+        idxs = np.asarray(self.msaidxs, np.int64)
+        cns_row = self.msacols[idxs][:, nall]
+        nongap = cns_row < 4
+        lpos_all = np.cumsum(nongap) - nongap  # exclusive prefix count
+        cand = ((m1_all < 4) & (m2_all < 4)
+                & (bm2 >= self.par.min_varcnt) & sel)
+        for pos in np.flatnonzero(cand).tolist():
+            covn, altn = int(covs[pos]), int(bm2[pos])
+            prob = cal_binomial(covn, altn, pexp)
+            qual = int(-(prob / math.log(10)))
+            if qual > 1000:
+                qual = 1000
+            if qual >= self.par.min_snvqlt:
+                self.var.append(dict(cpos=int(lpos_all[pos]), mpos=pos,
+                                     covn=covn, refn=int(bm1[pos]),
+                                     refb=int(m1_all[pos]), altn=altn,
+                                     altb=int(m2_all[pos]), qual=qual))
 
     # ------------------------------------------------------------- driver
     def end(self):

@@ -24,6 +24,15 @@ _NODE_GROW = 1024
 _EDGE_GROW = 4096
 
 
+
+def _grow(a: np.ndarray, cap: int) -> np.ndarray:
+    """Reallocate to cap entries (contents past the old length are
+    uninitialized — callers init new slots). Faster than np.resize,
+    which cyclically repeats old data to fill."""
+    b = np.empty(cap, a.dtype)
+    b[:len(a)] = a
+    return b
+
 class Node:
     """Pure view over the graph's SoA arrays — nodes hold no Python state,
     so bulk node creation is array writes and `g.nodes[i]` materializes a
@@ -180,7 +189,7 @@ class Graph:
         n = len(self.nodes)
         if n >= len(self._nd[0]):
             cap = max(n + 1, len(self._nd[0]) * 2)
-            self._nd = [np.resize(a, cap) for a in self._nd]
+            self._nd = [_grow(a, cap) for a in self._nd]
             self._gargs = None
 
     @property
@@ -194,9 +203,9 @@ class Graph:
     def _encap_edges(self, extra: int) -> None:
         if self._elen + extra >= len(self._ed[0]):
             cap = max(self._elen + extra, len(self._ed[0]) * 2)
-            self._ed = [np.resize(a, cap) for a in self._ed]
+            self._ed = [_grow(a, cap) for a in self._ed]
             self._estate[2] = cap
-            self._ecyc = np.resize(self._ecyc, cap // 2)
+            self._ecyc = _grow(self._ecyc, cap // 2)
             self._gargs = None
 
     # --- nodes ---
@@ -234,7 +243,7 @@ class Graph:
     def _encap_nodes_to(self, n: int) -> None:
         if n >= len(self._nd[0]):
             cap = max(n + 1, len(self._nd[0]) * 2)
-            self._nd = [np.resize(a, cap) for a in self._nd]
+            self._nd = [_grow(a, cap) for a in self._nd]
             self._gargs = None
 
     def rdnode(self, rid: int, pos: int) -> int:
