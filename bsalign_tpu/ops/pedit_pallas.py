@@ -283,6 +283,10 @@ def pedit_forward_batch(jobs, Rs=64, interpret=None):
     R = max(8, 1 << (len(jobs) - 1).bit_length())
     nsteps = max(2 * (j.mend - j.mbeg) - 1 for j in jobs)
     NT = -(-(nsteps + 1) // Rs)
+    # bucket the step-chunk count to the next power of two: realignment
+    # rounds shrink nsteps slightly between rounds, and an exact NT would
+    # recompile the Mosaic program every round (wasted columns are masked)
+    NT = 1 << max(NT - 1, 0).bit_length()
     init, feed = pack_jobs(jobs, R, Rs, NT)
     call = _get_call(bw, HW, R, Rs, NT, bool(interpret))
     o0, o1 = call(init, feed)

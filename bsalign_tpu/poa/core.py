@@ -30,6 +30,25 @@ from .csort import c_sort_array, shuffle_array
 from .graph import Graph
 
 WS = WORDSIZE
+
+_PEDIT_DEV_DEFAULT = None
+
+
+def pedit_device_default() -> bool:
+    """remsa pedit runs on the TPU by default (BSA_PEDIT_DEVICE=0 forces
+    host, =1 forces device). Decided once per process — importing jax just
+    to read the backend is done lazily so pure-host POA use stays light."""
+    global _PEDIT_DEV_DEFAULT
+    env = os.environ.get("BSA_PEDIT_DEVICE")
+    if env is not None and env != "":
+        return env != "0"
+    if _PEDIT_DEV_DEFAULT is None:
+        try:
+            import jax
+            _PEDIT_DEV_DEFAULT = jax.default_backend() == "tpu"
+        except Exception:
+            _PEDIT_DEV_DEFAULT = False
+    return _PEDIT_DEV_DEFAULT
 MIN_LOGVAL = -1000000000.0
 QLT_MAX = 90
 MAX_U4 = 0xFFFFFFFF
@@ -1673,18 +1692,37 @@ class BSPOA:
                     stack.append(pb)
                     set_cnt(i, pos, 0)
 
-    def remsa_pedits(self, bandwidth: int, hpadjust: int, all_: int):
+    def remsa_pedits(self, bandwidth: int, hpadjust: int, all_: int,
+                     dev_exec=None):
         """Anti-diagonal max-match realignment vs the column profile
-        (bspoa.h:4178-4457). Unsigned-8-bit saturating DP."""
-        g = self.g
+        (bspoa.h:4178-4457). Unsigned-8-bit saturating DP.
+
+        dev_exec: optional callable(jobs) -> per-job matrices, used by the
+        lockstep multi-window driver (poa/batch.py) to run ONE device call
+        for many windows' read realignments per round."""
+        ctx = self._remsa_prepare(bandwidth, hpadjust)
+        if ctx is None:
+            return
+        use_dev = (dev_exec is not None or pedit_device_default()) \
+            and self.g._native is not None
+        if use_dev:
+            from ..ops.pedit_pallas import pedit_forward_batch
+            dev_jobs, dev_spec = self._remsa_dev_build(ctx, all_)
+            exec_ = dev_exec or pedit_forward_batch
+            dev_mats = exec_(dev_jobs) if dev_jobs else []
+            self._remsa_dev_apply(ctx, dev_spec, dev_mats, all_)
+            return
+        self._remsa_host_run(ctx, all_)
+
+    def _remsa_prepare(self, bandwidth: int, hpadjust: int):
+        """Build this round's MSA column profile + per-read scratch
+        (bspoa.h:4199-4319); returns a ctx dict or None on early-out."""
         nseq = self.nrds
         nall = nseq if self.nseq == 0 else self.nseq
-        mrow = nall + 3
         mlen = len(self.msaidxs)
         if nseq >= 255:
-            return
+            return None
         bandwidth = roundup(bandwidth, WS)
-        W = bandwidth // WS
         HW = bandwidth // 2
         self.add_msanodes()
         pad = mlen + bandwidth
@@ -1726,50 +1764,67 @@ class BSPOA:
         # reverse mats1 over [0, mlen)
         mats1[:, HW:HW + mlen] = mats1[:, HW:HW + mlen][:, ::-1]
         mats1 = mats1.astype(np.uint8)
+        return dict(nseq=nseq, mlen=mlen, bandwidth=bandwidth, HW=HW,
+                    pad=pad, rowlen=rowlen, seqs0=seqs0, seqs1=seqs1,
+                    matrix0=matrix0, matrix1=matrix1, mats0=mats0,
+                    mats1=mats1)
 
-        # device batch path: the per-read forward DPs depend only on this
-        # round's MSA profile + each read's own mpos/base, so they are
-        # order-independent — run them as ONE Pallas kernel call over all
-        # reads, then do the (order-sensitive) graph surgery sequentially
-        use_dev = bool(os.environ.get("BSA_PEDIT_DEVICE")) \
-            and g._native is not None
-        dev_jobs = None
-        if use_dev:
-            from ..ops.pedit_pallas import PeditJob, pedit_forward_batch
-            dev_jobs = []
-            dev_spec = []
-            for rid in range(self.nseq):
-                rdlen = self.rdlen(rid)
-                if rdlen == 0:
-                    continue
-                if rid >= nseq:
-                    if not all_:
-                        break
-                    qb, qe = self._remsa_map_noncore(rid, rdlen, mlen)
-                else:
-                    qb, qe = 0, rdlen
-                s0 = np.full(pad, 4, np.uint8)
-                m0 = np.zeros((4, pad), np.uint8)
-                self._remsa_fill_read(rid, qb, qe, s0, m0, HW)
-                mbeg = g.nodes[g.rdnode(rid, qb)].mpos
-                mend = g.nodes[g.rdnode(rid, qe - 1)].mpos + 1
-                dev_jobs.append(PeditJob(s0, seqs1, m0, mats1, mlen, mbeg,
-                                         mend, bandwidth, HW))
-                dev_spec.append((rid, rdlen, qb, qe, mbeg, mend, s0, m0))
-            dev_mats = pedit_forward_batch(dev_jobs) if dev_jobs else []
-            for spec, (mx0, mx1) in zip(dev_spec, dev_mats):
-                rid, rdlen, qb, qe, mbeg, mend, s0, m0 = spec
-                NR.g_cut_range(g, rid, qb, qe, 3)
-                ndoffs_arr = np.asarray(g.ndoffs, np.int64)
-                NR.pedit_traceback(
-                    g, mx0, mx1, s0, seqs1, m0, mats1, ndoffs_arr, mlen,
-                    mbeg, mend, HW, rowlen, rid, self.nseq + 1, qe)
-                NR.g_connect_range(g, rid, 0, rdlen)
-            self.del_msanodes()
-            if all_:
-                self.nrds = self.nseq
-            return
+    def _remsa_dev_build(self, ctx, all_):
+        """Per-read device jobs for this round (order-independent forward
+        DPs over the shared column profile)."""
+        from ..ops.pedit_pallas import PeditJob
+        g = self.g
+        nseq, mlen = ctx["nseq"], ctx["mlen"]
+        pad, HW = ctx["pad"], ctx["HW"]
+        seqs1, mats1 = ctx["seqs1"], ctx["mats1"]
+        bandwidth = ctx["bandwidth"]
+        dev_jobs = []
+        dev_spec = []
+        for rid in range(self.nseq):
+            rdlen = self.rdlen(rid)
+            if rdlen == 0:
+                continue
+            if rid >= nseq:
+                if not all_:
+                    break
+                qb, qe = self._remsa_map_noncore(rid, rdlen, mlen)
+            else:
+                qb, qe = 0, rdlen
+            s0 = np.full(pad, 4, np.uint8)
+            m0 = np.zeros((4, pad), np.uint8)
+            self._remsa_fill_read(rid, qb, qe, s0, m0, HW)
+            mbeg = g.nodes[g.rdnode(rid, qb)].mpos
+            mend = g.nodes[g.rdnode(rid, qe - 1)].mpos + 1
+            dev_jobs.append(PeditJob(s0, seqs1, m0, mats1, mlen, mbeg,
+                                     mend, bandwidth, HW))
+            dev_spec.append((rid, rdlen, qb, qe, mbeg, mend, s0, m0))
+        return dev_jobs, dev_spec
 
+    def _remsa_dev_apply(self, ctx, dev_spec, dev_mats, all_):
+        """Order-sensitive graph surgery from device forward matrices."""
+        g = self.g
+        mlen, HW, rowlen = ctx["mlen"], ctx["HW"], ctx["rowlen"]
+        seqs1, mats1 = ctx["seqs1"], ctx["mats1"]
+        for spec, (mx0, mx1) in zip(dev_spec, dev_mats):
+            rid, rdlen, qb, qe, mbeg, mend, s0, m0 = spec
+            NR.g_cut_range(g, rid, qb, qe, 3)
+            ndoffs_arr = np.asarray(g.ndoffs, np.int64)
+            NR.pedit_traceback(
+                g, mx0, mx1, s0, seqs1, m0, mats1, ndoffs_arr, mlen,
+                mbeg, mend, HW, rowlen, rid, self.nseq + 1, qe)
+            NR.g_connect_range(g, rid, 0, rdlen)
+        self.del_msanodes()
+        if all_:
+            self.nrds = self.nseq
+
+    def _remsa_host_run(self, ctx, all_):
+        g = self.g
+        nseq, mlen = ctx["nseq"], ctx["mlen"]
+        pad, HW, rowlen = ctx["pad"], ctx["HW"], ctx["rowlen"]
+        bandwidth = ctx["bandwidth"]
+        seqs0, seqs1 = ctx["seqs0"], ctx["seqs1"]
+        matrix0, matrix1 = ctx["matrix0"], ctx["matrix1"]
+        mats0, mats1 = ctx["mats0"], ctx["mats1"]
         ncore = min(self.nseq, nseq)
         rid_start = 0
         if g._native is not None and isinstance(self.msacols, np.ndarray):
@@ -2230,7 +2285,10 @@ class BSPOA:
                                      altb=int(m2_all[pos]), qual=qual))
 
     # ------------------------------------------------------------- driver
-    def end(self):
+    def end_begin(self) -> bool:
+        """end_bspoa up to the realignment loop (bspoa.h:4722-4760):
+        shuffle, node chains, incremental graph alignment. Returns False
+        when there is nothing to align (the caller skips the rest)."""
         self.cns = np.zeros(0, np.uint8)
         self.qlt = np.zeros(0, np.uint8)
         self.alt = np.zeros(0, np.uint8)
@@ -2239,7 +2297,7 @@ class BSPOA:
             self.qlt = np.zeros(len(self.cns), np.uint8)
             self.alt = np.zeros(len(self.cns), np.uint8)
         if self.nseq <= 1:
-            return
+            return False
         if self.par.shuffle:
             self.shuffle_reads_by_kmers()
         if self.par.seqcore:
@@ -2255,18 +2313,32 @@ class BSPOA:
                 self.simple_cns()
             self.align_rd(self.par, 0, rid, 0, self.rdlen(rid))
             self.nrds += 1
-        for i in range(self.par.realn):
-            self.msa()
-            self.cns_call()
-            if self.par.editbw < 0:
-                self.remsa_edits(-self.par.editbw)
-            else:
-                self.remsa_pedits(self.par.editbw // 2, 1,
-                                  1 if (i + 1 == self.par.realn) else 0)
+        return True
+
+    def end_realn_round(self, i: int, dev_exec=None) -> None:
+        """One realignment round of end_bspoa (bspoa.h:4762-4772)."""
+        self.msa()
+        self.cns_call()
+        if self.par.editbw < 0:
+            self.remsa_edits(-self.par.editbw)
+        else:
+            self.remsa_pedits(self.par.editbw // 2, 1,
+                              1 if (i + 1 == self.par.realn) else 0,
+                              dev_exec=dev_exec)
+
+    def end_finish(self) -> None:
+        """end_bspoa tail (bspoa.h:4773-4776)."""
         if self.par.shuffle:
             self.restore_rd_orders()
         self.msa()
         self.cns_call()
+
+    def end(self):
+        if not self.end_begin():
+            return
+        for i in range(self.par.realn):
+            self.end_realn_round(i)
+        self.end_finish()
 
     def remsa_edits(self, W: int):
         """Scalar banded edit realignment vs the column profile

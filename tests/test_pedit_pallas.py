@@ -91,7 +91,7 @@ def test_poa_device_pedit_end_to_end(monkeypatch):
                         for p in range(len(g.msaidxs))])
         return mat, bytes(g.cns), bytes(g.qlt), bytes(g.alt)
 
-    monkeypatch.delenv("BSA_PEDIT_DEVICE", raising=False)
+    monkeypatch.setenv("BSA_PEDIT_DEVICE", "0")
     host = run()
     monkeypatch.setenv("BSA_PEDIT_DEVICE", "1")
     dev = run()
