@@ -744,7 +744,7 @@ def backcal(qseq: np.ndarray, tseq: np.ndarray, init_row: RowState,
 
 def pairwise(qseq: np.ndarray, tseq: np.ndarray, mode: int, bandwidth: int,
              mtx: np.ndarray, gapo1: int, gape1: int, gapo2: int,
-             gape2: int) -> Tuple[AlnResult, List[int]]:
+             gape2: int, return_rows: bool = False):
     """Full pairwise driver (bsalign.h:3854-4050)."""
     qlen, tlen = len(qseq), len(tseq)
     if bandwidth == 0:
@@ -823,6 +823,8 @@ def pairwise(qseq: np.ndarray, tseq: np.ndarray, mode: int, bandwidth: int,
             rs.te = tlen - 1
     cigars = backcal(qseq, tseq, init, rows, begs, mode, bandwidth, mtx,
                      gapo1, gape1, gapo2, gape2, rs)
+    if return_rows:
+        return rs, cigars, init, rows, begs
     return rs, cigars
 
 
