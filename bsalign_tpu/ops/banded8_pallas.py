@@ -284,11 +284,10 @@ def _get_call(T, W, mode, piecewise, gapo1, gape1, gapo2, gape2, nt_max,
         return ubv + s
 
     # ---------- row computation ----------
-    def fpen(f_last, ub, gape):
-        """Active F-loop over lane heads (bsalign.h:2639-2652)."""
+    def fpen_seq(fs0, ub, gape):
+        """Exact sequential F lane-head ripple (bsalign.h:2639-2652),
+        including the int8 wrap on stores."""
         t = W * gape
-        fs0 = jnp.concatenate(
-            [jnp.full((1, BL), MIN8, I32), f_last[:-1]], axis=0)
         fs_rows = [fs0[0:1]]
         s = t + fs0[0:1] - (ub[1:2] - ub[0:1])
         for j in range(1, WS):
@@ -298,6 +297,37 @@ def _get_call(T, W, mode, piecewise, gapo1, gape1, gapo2, gape2, nt_max,
             if j < WS - 1:
                 s = t + fi2 - (ub[j + 1:j + 2] - ub[j:j + 1])
         return jnp.concatenate(fs_rows, axis=0)
+
+    def fpen(f_last, ub, gape):
+        """Active F-loop over lane heads (bsalign.h:2639-2652).
+
+        The ripple `f'_j = max(f_j, f'_{j-1} + t - (ub_j - ub_{j-1}))`
+        telescopes: with c_j = f'_j + ub_j - j*t it is a pure prefix max of
+        a_j = f_j + ub_j - j*t, done here in log2(WS) shifted maxes instead
+        of a 16-step serial chain. The closed form is exact unless a stored
+        value would wrap past int8 (s > 127 while replacing); the first such
+        wrap is always computed from still-correct inputs, so the vector
+        detect below is sound and the rare wrapped row falls back to the
+        exact serial ripple."""
+        t = W * gape
+        fs0 = jnp.concatenate(
+            [jnp.full((1, BL), MIN8, I32), f_last[:-1]], axis=0)
+        jt = jax.lax.broadcasted_iota(I32, (WS, 1), 0) * t
+        ubw = ub[:WS]
+        a = fs0 + ubw - jt
+        c = a
+        k = 1
+        while k < WS:
+            sh = jnp.concatenate(
+                [jnp.full((k, BL), SCORE_MIN, I32), c[:-k]], axis=0)
+            c = jnp.maximum(c, sh)
+            k *= 2
+        f_new = c - ubw + jt
+        # s_j = t + f'_{j-1} - (ub_j - ub_{j-1}) for j >= 1, from the
+        # closed-form f' (correct up to the first wrap)
+        s_arr = t + f_new[:-1] - (ub[1:WS] - ub[:WS - 1])
+        wrapped = (s_arr > 127) & (fs0[1:] < s_arr)
+        return f_new, jnp.sum(wrapped.astype(I32)), fs0
 
     def row_cal(qp, qlast, us0, es0, qs0, ub0, rh):
         if piecewise == 0:
@@ -349,9 +379,18 @@ def _get_call(T, W, mode, piecewise, gapo1, gape1, gapo2, gape2, nt_max,
                 g = jnp.maximum(g, h)
                 g = _subs8(g, u)
             h = qnext[x]
-        f = fpen(f, ub0, GapE)
+        f_cl, nw_f, fs0_f = fpen(f, ub0, GapE)
         if piecewise == 2:
-            g = fpen(g, ub0, GapP)
+            g_cl, nw_g, fs0_g = fpen(g, ub0, GapP)
+            f, g = jax.lax.cond(
+                nw_f + nw_g == 0, lambda o: (o[0], o[1]),
+                lambda o: (fpen_seq(o[2], o[4], GapE),
+                           fpen_seq(o[3], o[4], GapP)),
+                (f_cl, g_cl, fs0_f, fs0_g, ub0))
+        else:
+            f = jax.lax.cond(
+                nw_f == 0, lambda o: o[0],
+                lambda o: fpen_seq(o[1], o[2], GapE), (f_cl, fs0_f, ub0))
 
         # --- pass 2: u/e/q difference planes + anchors ---
         zero = jnp.zeros((WS, BL), I32)
