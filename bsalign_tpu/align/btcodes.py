@@ -53,6 +53,15 @@ def _rowhead(mode: int, piecewise: int, i: int, gapo1, gape1, gapo2, gape2):
     return max(gapo1 + gape1 * i, gapo2 + gape2 * i)
 
 
+def unpack_codes(words: np.ndarray, W: int) -> np.ndarray:
+    """[T, ceil(W/8), WS] packed int32 words (8 nibbles along x) ->
+    [T, W*WS] uint8 codes in natural band order p = y*W + x."""
+    T = words.shape[0]
+    x = np.arange(W)
+    cx = (words[:, x >> 3, :] >> (4 * (x & 7))[None, :, None]) & 15
+    return cx.transpose(0, 2, 1).reshape(T, W * WS).astype(np.uint8)
+
+
 def codes_from_rows(qseq: np.ndarray, tseq: np.ndarray, init_row, rows,
                     begs: List[int], mode: int, bandwidth: int,
                     mtx: np.ndarray, gapo1: int, gape1: int,

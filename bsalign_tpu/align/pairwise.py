@@ -8,6 +8,7 @@ O(tlen * bandwidth) cell updates stay on device.
 """
 from __future__ import annotations
 
+import time
 from typing import List, Sequence, Tuple
 
 import numpy as np
@@ -70,7 +71,7 @@ T_CHUNK = 4096      # rows per device call for long targets (bounds the HBM
 
 def _forward_chunked(eng, T, W, mode, piecewise, gapo1, gape1, gapo2, gape2,
                      smax, smin, qpad, qlens, tpad, tlens, mtx5, rby,
-                     us0, es0, qs0, ub0, Tc):
+                     us0, es0, qs0, ub0, Tc, codes=False):
     """Run the Pallas forward in row chunks with device-state carry.
 
     Long-read memory story (SURVEY.md §7 hard part 7): the stored
@@ -79,7 +80,7 @@ def _forward_chunked(eng, T, W, mode, piecewise, gapo1, gape1, gapo2, gape2,
     registers) resumes exactly, so 50-100 kb targets run at full batch
     without holding multi-GB plane buffers on device."""
     fwd = eng.make_forward(Tc, W, mode, piecewise, gapo1, gape1, gapo2,
-                           gape2, smax, smin)
+                           gape2, smax, smin, codes=codes)
     us, es, qs, ub = us0, es0, qs0, ub0
     reg = None
     res = None
@@ -98,14 +99,16 @@ def _forward_chunked(eng, T, W, mode, piecewise, gapo1, gape1, gapo2, gape2,
         ub = ub_full
         reg = res.final_reg
     from ..ops.banded8_jax import RowPlanes
+
+    def _cat(field, want):
+        if not want:
+            return None
+        return np.concatenate([getattr(p, field) for p in parts], axis=0)[:T]
+
     planes = RowPlanes(
-        np.concatenate([p.us for p in parts], axis=0)[:T],
-        (np.concatenate([p.es for p in parts], axis=0)[:T]
-         if piecewise >= 1 else None),
-        (np.concatenate([p.qs for p in parts], axis=0)[:T]
-         if piecewise == 2 else None),
-        np.concatenate([p.ubegs for p in parts], axis=0)[:T],
-        np.concatenate([p.begs for p in parts], axis=0)[:T])
+        _cat("us", not codes), _cat("es", not codes and piecewise >= 1),
+        _cat("qs", not codes and piecewise == 2), _cat("ubegs", not codes),
+        _cat("begs", True), _cat("codes", codes))
     return res._replace(planes=planes)
 
 
@@ -138,12 +141,29 @@ def align_batch(qseqs: Sequence[np.ndarray], tseqs: Sequence[np.ndarray],
     than DEVICE_CHUNK are processed in chunks to stay in VMEM.
     """
     if len(qseqs) > DEVICE_CHUNK:
+        # Depth-2 pipeline: the device forward for chunk k+1 is dispatched
+        # (async) before chunk k's host-side fetch + traceback, so the TPU
+        # computes while the host walks CIGARs — the compute/transfer
+        # overlap the serial per-chunk loop lacked.
         out: List[Tuple[AlnResult, List[int]]] = []
+        pending = None
         for c in range(0, len(qseqs), DEVICE_CHUNK):
-            out.extend(align_batch(qseqs[c:c + DEVICE_CHUNK],
-                                   tseqs[c:c + DEVICE_CHUNK], mode, bandwidth,
-                                   mtx, gapo1, gape1, gapo2, gape2))
+            nxt = _launch_batch(qseqs[c:c + DEVICE_CHUNK],
+                                tseqs[c:c + DEVICE_CHUNK], mode, bandwidth,
+                                mtx, gapo1, gape1, gapo2, gape2)
+            if pending is not None:
+                out.extend(pending())
+            pending = nxt
+        out.extend(pending())
         return out
+    return _launch_batch(qseqs, tseqs, mode, bandwidth, mtx, gapo1, gape1,
+                         gapo2, gape2)()
+
+
+def _launch_batch(qseqs, tseqs, mode, bandwidth, mtx, gapo1, gape1, gapo2,
+                  gape2):
+    """Dispatch the device forward for one batch and return a zero-arg
+    finisher that fetches results and runs the host traceback."""
     B = len(qseqs)
     if bandwidth == 0:
         bandwidth = max(len(q) for q in qseqs)
@@ -156,25 +176,59 @@ def align_batch(qseqs: Sequence[np.ndarray], tseqs: Sequence[np.ndarray],
     us0, es0, qs0, ub0, _ = _init_state(mode, bandwidth, piecewise, smax,
                                         smin, gapo1, gape1, gapo2, gape2, B)
     eng = _engine()
+    import os
+    # Packed 4-bit traceback codes (align/btcodes.py): the kernel emits 0.5
+    # bytes/cell instead of ~2.5 (u/e planes + anchors) — a ~5x cut in
+    # device->host traffic, decoded by the native walker in O(path).
+    use_codes = (piecewise < 2
+                 and getattr(eng, "__name__", "").endswith("banded8_pallas")
+                 and os.environ.get("BSA_BT_CODES", "1") != "0")
     from ..utils import metrics
     chunked = (T > T_CHUNK
                and getattr(eng, "__name__", "").endswith("banded8_pallas"))
-    with metrics.timed("banded8_fwd", float(np.sum(tlens)) * bandwidth):
-        if chunked:
-            res = _forward_chunked(eng, T, W, mode, piecewise, gapo1, gape1,
-                                   gapo2, gape2, smax, smin, qpad, qlens,
-                                   tpad, tlens, _mtx5(mtx), rby, us0, es0,
-                                   qs0, ub0, T_CHUNK)
+    fwd_cells = float(np.sum(tlens)) * bandwidth
+    t_launch = time.time()
+    fwd_args = (qpad, qlens, tpad, tlens, _mtx5(mtx), rby, us0, es0, qs0,
+                ub0)
+    if chunked:
+        res0 = _forward_chunked(eng, T, W, mode, piecewise, gapo1, gape1,
+                                gapo2, gape2, smax, smin, *fwd_args,
+                                Tc=T_CHUNK, codes=use_codes)
+        get_res = lambda: res0                               # noqa: E731
+    else:
+        fwd = eng.make_forward(T, W, mode, piecewise, gapo1, gape1,
+                               gapo2, gape2, smax, smin, codes=use_codes)
+        if hasattr(fwd, "prepare"):
+            # async dispatch: the device starts now; the host fetch (and
+            # the blocking wait) happens in the finisher
+            call, ops, meta = fwd.prepare(*fwd_args)
+            outs = call(*ops)
+            get_res = lambda: fwd.unpack(outs, *meta)        # noqa: E731
         else:
-            fwd = eng.make_forward(T, W, mode, piecewise, gapo1, gape1,
-                                   gapo2, gape2, smax, smin)
-            res = fwd(qpad, qlens, tpad, tlens, _mtx5(mtx), rby, us0, es0,
-                      qs0, ub0)
+            res0 = fwd(*fwd_args)
+            get_res = lambda: res0                           # noqa: E731
+    return lambda: _finish_batch(
+        get_res, qseqs, tseqs, mode, bandwidth, W, piecewise, mtx, gapo1,
+        gape1, gapo2, gape2, smax, smin, tlens, use_codes, fwd_cells,
+        t_launch)
+
+
+def _finish_batch(get_res, qseqs, tseqs, mode, bandwidth, W, piecewise, mtx,
+                  gapo1, gape1, gapo2, gape2, smax, smin, tlens, use_codes,
+                  fwd_cells, t_launch):
+    from ..utils import metrics
+    B = len(qseqs)
+    res = get_res()
     planes = res.planes
-    us_p = np.asarray(planes.us)
-    es_p = None if planes.es is None else np.asarray(planes.es)
-    qs_p = None if planes.qs is None else np.asarray(planes.qs)
-    ub_p = np.asarray(planes.ubegs)
+    metrics.add("banded8_fwd", fwd_cells, time.time() - t_launch)
+    if use_codes:
+        codes_w = np.ascontiguousarray(planes.codes)
+        us_p = es_p = qs_p = ub_p = None
+    else:
+        us_p = np.asarray(planes.us)
+        es_p = None if planes.es is None else np.asarray(planes.es)
+        qs_p = None if planes.qs is None else np.asarray(planes.qs)
+        ub_p = np.asarray(planes.ubegs)
     begs_p = np.asarray(planes.begs)
     score = np.asarray(res.score)
     qe = np.asarray(res.qe)
@@ -186,15 +240,22 @@ def align_batch(qseqs: Sequence[np.ndarray], tseqs: Sequence[np.ndarray],
     out = []
     init_row = O.row_init(mode, bandwidth, smax, smin, gapo1, gape1, gapo2,
                           gape2)
+    from ..align import btcodes as BC
     from ..native import rowops as NR
     use_native = NR.available()
-    if use_native:
+    begs_p = np.ascontiguousarray(begs_p, np.int32)
+    if use_native and not use_codes:
         us_p = np.ascontiguousarray(us_p)
         es_p = None if es_p is None else np.ascontiguousarray(es_p)
         qs_p = None if qs_p is None else np.ascontiguousarray(qs_p)
         ub_p = np.ascontiguousarray(ub_p, np.int32)
-        begs_p = np.ascontiguousarray(begs_p, np.int32)
         mtx8 = np.ascontiguousarray(mtx, np.int8)
+    if use_codes:
+        if piecewise and init_row.es is not None:
+            init_eo = (init_row.es.T.reshape(-1)
+                       == gapo1 + gape1).astype(np.uint8)
+        else:
+            init_eo = np.ones(bandwidth, np.uint8)
     is_overlap = mode_type(mode) == MODE_OVERLAP
     for b in range(B):
         tl = int(tlens[b])
@@ -210,7 +271,17 @@ def align_batch(qseqs: Sequence[np.ndarray], tseqs: Sequence[np.ndarray],
                 rs.score = max_score
                 rs.qe = int(fin_rbeg[b]) + rmax
                 rs.te = tl - 1
-        if use_native:
+        if use_codes:
+            if use_native:
+                cigars = NR.decode_codes(qseqs[b], tseqs[b], codes_w, begs_p,
+                                         init_eo, b, is_overlap, bandwidth,
+                                         rs)
+            else:
+                nat = BC.unpack_codes(codes_w[:tl, :, :, b], W)
+                begs = [int(x) for x in begs_p[:tl, b]]
+                cigars = BC.decode_codes(qseqs[b], tseqs[b], nat, begs,
+                                         init_eo, mode, bandwidth, rs)
+        elif use_native:
             cigars = NR.backcal(qseqs[b], tseqs[b], init_row, us_p, es_p,
                                 qs_p, ub_p, begs_p, b, is_overlap, bandwidth,
                                 mtx8, gapo1, gape1, gapo2, gape2, piecewise,

@@ -1107,6 +1107,137 @@ extern "C" long bsa8_backcal(
     return (long)acc.size();
 }
 
+// Walk packed 4-bit traceback codes into a CIGAR — the C twin of
+// btcodes.decode_codes (itself bit-exact vs backcal, bsalign.h:3704-3852).
+// codes is the device kernel's raw [T, CPW, WS, B] int32 output: 8 cells
+// packed per word along x of the natural band pos p = y*W + x. O(path)
+// nibble reads — no unpacking pass.
+extern "C" long bsa_decode_codes(
+    const uint8_t *qseq, const uint8_t *tseq,
+    const i32 *codes, int CPW,                           // [T,CPW,16,B]
+    const i32 *begs_p,                                   // [T,B] strided
+    const uint8_t *init_eo,                              // [BW]
+    long B, long b, int is_overlap, int bandwidth,
+    BackcalRS *rs, uint32_t *cg_out, long cg_cap) {
+    const int W = bandwidth / WSZ;
+    const long BW = bandwidth;
+
+    auto beg_of = [&](long i) -> long {
+        return i < 0 ? 0 : (long)begs_p[(size_t)i * B + b];
+    };
+    auto code_at = [&](long t, long p) -> int {          // p: band index
+        const int x = (int)(p % W), y = (int)(p / W);
+        const i32 w =
+            codes[(((size_t)t * CPW + (x >> 3)) * WSZ + y) * B + b];
+        return (w >> (4 * (x & 7))) & 15;
+    };
+    auto eo_bit = [&](long j, long p) -> bool {
+        if (j <= -2) return true;
+        if (j == -1) return (p >= 0 && p < BW) ? (init_eo[p] != 0) : true;
+        const long xi = p - beg_of(j);
+        if (xi >= 0 && xi < BW) return (code_at(j, xi) & 4) != 0;
+        return true;   // out-of-band: open (backcal default e' = GapOE)
+    };
+    auto fo_bit = [&](long j, long p) -> bool {
+        const long xi = p - beg_of(j);
+        if (xi >= 0 && xi < BW) return (code_at(j, xi) & 8) != 0;
+        return true;
+    };
+
+    std::vector<uint32_t> acc;
+    uint32_t cg = 0;
+    auto push = [&](uint32_t op, uint32_t sz) {
+        if (op == (cg & 0xF)) {
+            cg += sz << 4;
+        } else {
+            if (cg) acc.push_back(cg);
+            cg = (sz << 4) | op;
+        }
+    };
+
+    rs->qb = rs->qe;
+    rs->qe += 1;
+    rs->tb = rs->te;
+    rs->te += 1;
+    rs->mat = rs->mis = rs->ins = rs->del_ = rs->aln = 0;
+    long qb = rs->qb, tb = rs->tb;
+    int prior_match = 0;
+    while (qb >= 0 && tb >= 0) {
+        const long bprev = tb >= 1 ? beg_of(tb - 1) : 0;
+        const long x = qb - bprev;
+        if (qb == bprev && qb > 0) prior_match = 0;
+        const long xi = qb - beg_of(tb);
+        const int ci = (xi >= 0 && xi < BW) ? code_at(tb, xi) : 0;
+        const int m = ci & 1, d = (ci >> 1) & 1;
+        int bt;
+        if (x > BW) bt = 1;
+        else if (x == BW) bt = m ? 0 : 1;
+        else if (prior_match) bt = m ? 0 : (d ? 2 : 1);
+        else bt = d ? 2 : (m ? 0 : 1);
+        prior_match = 1;
+        if (bt == 0) {            // M
+            if (qseq[qb] == tseq[tb]) rs->mat += 1;
+            else rs->mis += 1;
+            push(0, 1);
+            rs->aln += 1;
+            qb -= 1;
+            tb -= 1;
+        } else if (bt == 2) {     // D run: walk up until the E chain opens
+            long sz = 1, j = tb - 1;
+            while (!eo_bit(j, qb) && j >= 0) {
+                sz += 1;
+                j -= 1;
+            }
+            push(2, (uint32_t)sz);
+            rs->del_ += sz;
+            rs->aln += sz;
+            tb -= sz;
+        } else {                  // I run: walk left until the F chain opens
+            if (qb <= 0) {
+                push(1, 1);
+                rs->ins += 1;
+                rs->aln += 1;
+                qb -= 1;
+            } else {
+                long sz = 1, p = qb;
+                while (!fo_bit(tb, p) && sz + beg_of(tb) <= qb) {
+                    sz += 1;
+                    p -= 1;
+                }
+                push(1, (uint32_t)sz);
+                rs->ins += sz;
+                rs->aln += sz;
+                qb -= sz;
+            }
+        }
+    }
+    rs->qb = qb;
+    rs->tb = tb;
+    if (!is_overlap) {
+        uint32_t op = 0;
+        long sz = 0;
+        if (rs->qb >= 0) {
+            op = 1;
+            sz = rs->qb + 1;
+            rs->ins += sz;
+            rs->qb = -1;
+        } else if (rs->tb >= 0) {
+            op = 2;
+            sz = rs->tb + 1;
+            rs->del_ += sz;
+            rs->tb = -1;
+        }
+        rs->aln += sz;
+        if (sz) push(op, (uint32_t)sz);
+    }
+    if (cg) acc.push_back(cg);
+    rs->qb += 1;
+    rs->tb += 1;
+    const long n = (long)acc.size() < cg_cap ? (long)acc.size() : cg_cap;
+    for (long k = 0; k < n; k++) cg_out[k] = acc[acc.size() - 1 - k];
+    return (long)acc.size();
+}
+
 // ---- POA graph edge ops over SoA arrays (bspoa.h:430-736) ----
 // Arrays are the same memory the Python Graph exposes; estate =
 // [edge_count, recycle_count, capacity, error].

@@ -138,6 +138,33 @@ def backcal(qseq, tseq, init_row, us_p, es_p, qs_p, ub_p, begs_p, b,
     return [int(x) for x in cg[:n]]
 
 
+def decode_codes(qseq, tseq, codes_w, begs_p, init_eo, b, is_overlap,
+                 bandwidth, rs):
+    """Native walk of the device kernel's packed 4-bit traceback codes
+    (codes_w [T, CPW, WS, B] int32, batch-strided); mutates `rs`
+    (AlnResult) and returns the packed CIGAR list."""
+    import numpy as _np
+    lib = rowops_lib()
+    T, CPW, _, B = codes_w.shape
+    stats = _np.zeros(10, _np.int64)
+    stats[0] = rs.score
+    stats[2] = rs.qe
+    stats[4] = rs.te
+    cg_cap = int(qseq.size + tseq.size + 8)
+    cg = _np.zeros(cg_cap, _np.uint32)
+    qc = _np.ascontiguousarray(qseq, _np.uint8)
+    tc = _np.ascontiguousarray(tseq, _np.uint8)
+    eo = _np.ascontiguousarray(init_eo, _np.uint8)
+    n = lib.bsa_decode_codes(
+        qc.ctypes.data, tc.ctypes.data, codes_w.ctypes.data, CPW,
+        begs_p.ctypes.data, eo.ctypes.data, B, b, int(is_overlap),
+        bandwidth, stats.ctypes.data, cg.ctypes.data, cg_cap)
+    assert n <= cg_cap, "cigar overflow"
+    (rs.score, rs.qb, rs.qe, rs.tb, rs.te, rs.mat, rs.mis, rs.ins,
+     rs.dele, rs.aln) = (int(x) for x in stats)
+    return [int(x) for x in cg[:n]]
+
+
 def g_chg_edge(g, u, v, cov):
     """Native chg_edge over the graph's SoA arrays; returns (eidx, existed)."""
     r = rowops_lib().bsa_gf_chg_edge(*gfull_args(g), u, v, cov)

@@ -47,11 +47,14 @@ def _wrap8(x):
 
 
 class RowPlanes(NamedTuple):
-    us: jax.Array            # [T, W*WS, B] int8
+    us: jax.Array            # [T, W*WS, B] int8 (None in codes mode)
     es: Optional[jax.Array]  # [T, W*WS, B] int8 or None
     qs: Optional[jax.Array]
-    ubegs: jax.Array         # [T, WS+1, B] int32
+    ubegs: jax.Array         # [T, WS+1, B] int32 (None in codes mode)
     begs: jax.Array          # [T, B] int32
+    # Pallas codes mode: packed 4-bit traceback codes [T, ceil(W/8), WS, B]
+    # int32, 8 cells per word along the stripe axis (align/btcodes.py)
+    codes: Optional[jax.Array] = None
 
 
 class ForwardResult(NamedTuple):
@@ -254,8 +257,14 @@ def _qprof_row(qpad, rbeg, tbase, mtx5, W):
 
 def make_forward(T: int, W: int, mode: int, piecewise: int, gapo1: int,
                  gape1: int, gapo2: int, gape2: int, nt_max: int, nt_min: int,
-                 jit: bool = True):
-    """Build the (jitted) batched forward pass for fixed geometry/costs."""
+                 jit: bool = True, codes: bool = False):
+    """Build the (jitted) batched forward pass for fixed geometry/costs.
+
+    `codes` (packed traceback emission) is a Pallas-engine feature; this
+    engine accepts the kwarg for signature compatibility but only the
+    default False."""
+    if codes:
+        raise ValueError("codes mode is only supported by the Pallas engine")
     BW = W * WS
     GapE = gape1
     GapOE = gapo1 + gape1

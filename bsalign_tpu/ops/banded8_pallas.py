@@ -108,8 +108,9 @@ def _lanes_dn(x, k):
 @functools.lru_cache(maxsize=64)
 def _get_call(T, W, mode, piecewise, gapo1, gape1, gapo2, gape2, nt_max,
               nt_min, BL, Rs, NCH, Tp, NB, uniform_mtx, interpret, S=1,
-              emit_rows=True):
+              emit="planes"):
     BW = W * WS
+    CPW = -(-W // 8)   # packed code words per stripe-row (8 nibbles/word)
     GapE = gape1
     GapOE = gapo1 + gape1
     GapP = gape2
@@ -476,6 +477,94 @@ def _get_call(T, W, mode, piecewise, gapo1, gape1, gapo2, gape2, nt_max,
         ub1 = jnp.concatenate([ub_0, ub_hi], axis=0)
         return us1, es1, qs1, ub1
 
+    # ---------- packed traceback codes (align/btcodes.py contract) ----------
+    NEGK = -(1 << 30)   # "no predecessor": can never satisfy a score identity
+
+    def flat_shift1(a, fill):
+        """a at natural band pos p-1 (p = y*W + x): shift along x with a
+        carry from the previous stripe-row at x == 0."""
+        carry = jnp.concatenate(
+            [jnp.full((1, 1, BL), fill, I32), a[W - 1:W, :WS - 1]], axis=1)
+        return jnp.concatenate([carry, a[:W - 1]], axis=0)
+
+    def habs_of(us, ub):
+        """Absolute H per cell from a difference plane + stripe anchors:
+        habs[x,y] = ub[y] + sum_{x'<=x} us[x',y] (btcodes._row_habs)."""
+        acc = us
+        sh = 1
+        while sh < W:
+            acc = acc + jnp.concatenate(
+                [jnp.zeros((sh, WS, BL), I32), acc[:-sh]], axis=0)
+            sh *= 2
+        return acc + ub[None, :WS]
+
+    def calc_codes(us0, es0, ub0, us1, es1, ub1, qp, rh_move, inner,
+                   mov_eff, rbeg_n, qlen_v):
+        """Per-cell m/d/eo/fo decision bits (btcodes.codes_from_rows), from
+        the same reconstructed absolutes the host extractor uses, packed 8
+        nibbles per int32 word along the x axis. All vector work — no
+        scalar syncs — so it hides under the row loop's latency floor.
+
+        us0/es0/ub0 are the PREV row's planes already shifted into this
+        row's frame (x_prev = xi + mov), so the extractor's prev-frame
+        indexing is the identity here; cells whose diagonal predecessor
+        falls past the stored band (xi > BW - mov) are masked to 0 exactly
+        like the extractor's NEG sentinel."""
+        pg = p_grid()                                        # [W, WS, 1]
+        hprev = habs_of(us0, ub0)
+        habs = habs_of(us1, ub1)
+        diag = flat_shift1(hprev, NEGK)
+        # cell 0's diagonal predecessor: H(i-1, mov-1) when the band moved
+        # (rh_move), else the prev row head anchor / fresh row-head cost
+        diag0 = jnp.where(
+            mov_eff > 0, rh_move,
+            jnp.where(rbeg_n > 0, ub0[0:1], inner))          # (1, BL)
+        diag0 = jnp.where(mov_eff > BW, NEGK, diag0)
+        diag = jnp.where(pg == 0, diag0[None], diag)
+        ok = pg <= (BW - mov_eff)[None]
+        delta = habs - diag
+        m = (delta == qp) & ok
+        usum = us0 + es0 if piecewise >= 1 else us0 + GapOE
+        # x == BW: predecessor u/e fall just past the band -> (0, GapOE)
+        usum = jnp.where(pg == (BW - mov_eff)[None], GapOE, usum)
+        d = (delta == usum) & ok
+        if piecewise >= 1:
+            eo_i = (es1 == GapOE).astype(I32) << 2
+        else:
+            eo_i = 4    # linear gaps: every E chain is length 1
+        # F-open: telescoped running max (btcodes.codes_from_rows fo)
+        base = habs + (GapOE - GapE) - pg * GapE
+        pmx = base
+        sh = 1
+        while sh < W:
+            pmx = jnp.maximum(pmx, jnp.concatenate(
+                [jnp.full((sh, WS, BL), NEGK, I32), pmx[:-sh]], axis=0))
+            sh *= 2
+        rowmax = pmx[W - 1]                                  # [WS, BL]
+        ex = jnp.concatenate(
+            [jnp.full((1, BL), NEGK, I32), rowmax[:-1]], axis=0)
+        sh = 1
+        while sh < WS:
+            ex = jnp.maximum(ex, jnp.concatenate(
+                [jnp.full((sh, BL), NEGK, I32), ex[:-sh]], axis=0))
+            sh *= 2
+        racc = jnp.maximum(pmx, ex[None])
+        # distinct fills make p == 0 compare NEGK vs NEGK+1 -> False
+        fo = flat_shift1(racc, NEGK) == flat_shift1(base, NEGK + 1)
+        code = (m.astype(I32) | (d.astype(I32) << 1) | eo_i
+                | (fo.astype(I32) << 3))
+        code = jnp.where((rbeg_n[None] + pg) < qlen_v[None], code, 0)
+        words = []
+        for k in range(CPW):
+            wacc = code[8 * k]
+            for j in range(1, 8):
+                x = 8 * k + j
+                if x >= W:
+                    break
+                wacc = wacc | (code[x] << (4 * j))
+            words.append(wacc)
+        return jnp.stack(words, axis=0)                      # [CPW, WS, BL]
+
     def band_mov(ub, i, qoff, qlen_v):
         noisy = jnp.sum(jnp.abs(ub[1:WS + 1] - ub[:WS]), axis=0,
                         keepdims=True)
@@ -490,15 +579,24 @@ def _get_call(T, W, mode, piecewise, gapo1, gape1, gapo2, gape2, nt_max,
     REG_RBEG, REG_MOV, REG_MACC, REG_BS, REG_BQE, REG_BTE = range(6)
     n_pl = 1 if piecewise == 0 else (2 if piecewise == 1 else 3)
 
+    n_out = (n_pl + 4) if emit == "codes" else (2 * n_pl + 4)
+
     def kernel(*refs):
         (qch, tseq, rby, qltz, mtx5, row0_r, i_us, i_es, i_qs, i_ub,
          i_reg) = refs[:11]
-        outs = refs[11:11 + 2 * n_pl + 4]
-        pl_outs = outs[:n_pl]
-        ub_o, begs_o = outs[n_pl:n_pl + 2]
-        fin_pl_o = outs[n_pl + 2:2 * n_pl + 2]
-        fin_ub_o, scal_o = outs[2 * n_pl + 2:2 * n_pl + 4]
-        scratch = refs[11 + 2 * n_pl + 4:]
+        outs = refs[11:11 + n_out]
+        if emit == "codes":
+            codes_o, begs_o = outs[0], outs[1]
+            fin_pl_o = outs[2:2 + n_pl]
+            fin_ub_o, scal_o = outs[2 + n_pl:4 + n_pl]
+            pl_outs = ub_o = None
+        else:
+            codes_o = None
+            pl_outs = outs[:n_pl]
+            ub_o, begs_o = outs[n_pl:n_pl + 2]
+            fin_pl_o = outs[n_pl + 2:2 * n_pl + 2]
+            fin_ub_o, scal_o = outs[2 * n_pl + 2:2 * n_pl + 4]
+        scratch = refs[11 + n_out:]
         s_planes = scratch[:n_pl]
         s_ub, s_win, s_reg = scratch[n_pl:n_pl + 3]
         tc = pl.program_id(1)
@@ -553,6 +651,7 @@ def _get_call(T, W, mode, piecewise, gapo1, gape1, gapo2, gape2, nt_max,
                 jnp.minimum(mov, jnp.maximum(0, qlen_v - (rbeg + BW))), 0)
             rbeg_n = rbeg + mov_eff
             if mt == MODE_OVERLAP:
+                inner = 0
                 rh_nomove = jnp.where(rbeg > 0, SCORE_MIN, 0)
             else:
                 if piecewise < 2:
@@ -637,7 +736,12 @@ def _get_call(T, W, mode, piecewise, gapo1, gape1, gapo2, gape2, nt_max,
                     upd, i, s_reg[s, REG_BTE:REG_BTE + 1])
 
             # --- stage per-row outputs (scores-only mode emits none) ---
-            if emit_rows:
+            if emit == "codes":
+                codes_o[s, r] = calc_codes(
+                    us0, es0, ub0, us1, es1, ub1, qp, rh_move, inner,
+                    mov_eff, rbeg_n, qlen_v)
+                begs_o[s, r:r + 1] = rbeg_n
+            elif emit == "planes":
                 for po, p1 in zip(pl_outs, new_planes):
                     po[s, r] = p1.astype(jnp.int8)
                 ub_o[s, r] = jnp.concatenate(
@@ -686,6 +790,7 @@ def _get_call(T, W, mode, piecewise, gapo1, gape1, gapo2, gape2, nt_max,
         pl.BlockSpec((S, 8, BL), lambda b, tc: (b, 0, 0),
                      memory_space=vm),                       # init reg
     ]
+    emit_rows = emit == "planes"
     Tpo = Tp if emit_rows else Rs      # scores-only: 1-chunk dummy rows
     po_ix = ((lambda b, tc: (b, tc, 0, 0, 0)) if emit_rows
              else (lambda b, tc: (b, 0, 0, 0, 0)))
@@ -696,20 +801,34 @@ def _get_call(T, W, mode, piecewise, gapo1, gape1, gapo2, gape2, nt_max,
     plane_shape = jax.ShapeDtypeStruct((NB, Tpo, W, WS, BL), jnp.int8)
     plane_spec = pl.BlockSpec((S, Rs, W, WS, BL), po_ix, memory_space=vm)
     fin_plane_shape = jax.ShapeDtypeStruct((NB, W, WS, BL), I32)
-    out_shape = [plane_shape] * n_pl + [
-        jax.ShapeDtypeStruct((NB, Tpo, UBR, BL), I32),
-        jax.ShapeDtypeStruct((NB, Tpo, BL), I32),
-    ] + [fin_plane_shape] * n_pl + [
+    fin_shapes = [fin_plane_shape] * n_pl + [
         jax.ShapeDtypeStruct((NB, UBR, BL), I32),
         jax.ShapeDtypeStruct((NB, 8, BL), I32),
     ]
-    out_specs = [plane_spec] * n_pl + [
-        pl.BlockSpec((S, Rs, UBR, BL), ub_ix, memory_space=vm),
-        pl.BlockSpec((S, Rs, BL), bg_ix, memory_space=vm),
-    ] + [state_spec] * n_pl + [
+    fin_specs = [state_spec] * n_pl + [
         pl.BlockSpec((S, UBR, BL), lambda b, tc: (b, 0, 0), memory_space=vm),
         pl.BlockSpec((S, 8, BL), lambda b, tc: (b, 0, 0), memory_space=vm),
     ]
+    if emit == "codes":
+        out_shape = [
+            jax.ShapeDtypeStruct((NB, Tp, CPW, WS, BL), I32),
+            jax.ShapeDtypeStruct((NB, Tp, BL), I32),
+        ] + fin_shapes
+        out_specs = [
+            pl.BlockSpec((S, Rs, CPW, WS, BL),
+                         lambda b, tc: (b, tc, 0, 0, 0), memory_space=vm),
+            pl.BlockSpec((S, Rs, BL), lambda b, tc: (b, tc, 0),
+                         memory_space=vm),
+        ] + fin_specs
+    else:
+        out_shape = [plane_shape] * n_pl + [
+            jax.ShapeDtypeStruct((NB, Tpo, UBR, BL), I32),
+            jax.ShapeDtypeStruct((NB, Tpo, BL), I32),
+        ] + fin_shapes
+        out_specs = [plane_spec] * n_pl + [
+            pl.BlockSpec((S, Rs, UBR, BL), ub_ix, memory_space=vm),
+            pl.BlockSpec((S, Rs, BL), bg_ix, memory_space=vm),
+        ] + fin_specs
     scratch = [pltpu.VMEM((S, W, WS, BL), I32) for _ in range(n_pl)] + [
         pltpu.VMEM((S, WS + 1, BL), I32),                    # s_ub
         pltpu.VMEM((S, W, SLANES, BL), I32),                 # s_win
@@ -730,7 +849,8 @@ def _get_call(T, W, mode, piecewise, gapo1, gape1, gapo2, gape2, nt_max,
 def make_forward(T: int, W: int, mode: int, piecewise: int, gapo1: int,
                  gape1: int, gapo2: int, gape2: int, nt_max: int, nt_min: int,
                  jit: bool = True, *, BL: int = 128, Rs: int = 16,
-                 S: int = 1, scores_only: bool = False, interpret=None):
+                 S: int = 1, scores_only: bool = False, codes: bool = False,
+                 interpret=None):
     """Drop-in replacement for banded8_jax.make_forward using the Pallas
     kernel. Same call signature and ForwardResult contract.
 
@@ -740,7 +860,11 @@ def make_forward(T: int, W: int, mode: int, piecewise: int, gapo1: int,
     kernel loses ~10% at S=2 (larger VMEM working set + per-row
     control flow outweigh the extra chain ILP), so the default stays 1."""
     BW = W * WS
+    CPW = -(-W // 8)
     mt = mode_type(mode)
+    emit = "none" if scores_only else ("codes" if codes else "planes")
+    if emit == "codes" and piecewise == 2:
+        raise ValueError("codes mode covers piecewise 0/1 only")
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
 
@@ -817,7 +941,7 @@ def make_forward(T: int, W: int, mode: int, piecewise: int, gapo1: int,
 
         call = _get_call(T, W, mode, piecewise, gapo1, gape1, gapo2, gape2,
                          nt_max, nt_min, BL, Rs, NCH, Tp, NB, uniform,
-                         bool(interpret), S, not scores_only)
+                         bool(interpret), S, emit)
         qltz = np.zeros((NB, 8, BL), np.int32)
         qltz[:, 0] = ql_f.reshape(NB, BL)
         qltz[:, 1] = tl_f.reshape(NB, BL)
@@ -828,6 +952,21 @@ def make_forward(T: int, W: int, mode: int, piecewise: int, gapo1: int,
     n_pl = 1 if piecewise == 0 else (2 if piecewise == 1 else 3)
 
     def unpack(outs, B, Bp, NB, Tp, qlen, tlen):
+        codes_np = None
+        if emit == "codes":
+            codes_o, begs = outs[0], outs[1]
+            fin_planes = outs[2:2 + n_pl]
+            fin_ub, scal = outs[2 + n_pl:4 + n_pl]
+            us_p = es_p = qs_p = ub_np = None
+            codes_np = np.asarray(codes_o).transpose(1, 2, 3, 0, 4).reshape(
+                Tp, CPW, WS, Bp)[:T, :, :, :B]
+            begs_np = np.asarray(begs).transpose(1, 0, 2).reshape(
+                Tp, Bp)[:T, :B]
+            fin_to_host = lambda x: np.asarray(x).transpose(  # noqa: E731
+                1, 2, 0, 3).reshape(W, WS, Bp)[:, :, :B]
+            fin_pl_np = [fin_to_host(x) for x in fin_planes]
+            return _finish(fin_pl_np, fin_ub, scal, us_p, es_p, qs_p,
+                           ub_np, begs_np, codes_np, B, Bp, qlen, tlen)
         plane_outs = outs[:n_pl]
         ub_o, begs = outs[n_pl:n_pl + 2]
         fin_planes = outs[n_pl + 2:2 * n_pl + 2]
@@ -855,6 +994,11 @@ def make_forward(T: int, W: int, mode: int, piecewise: int, gapo1: int,
             begs_np = np.asarray(begs).transpose(1, 0, 2).reshape(
                 Tp, Bp)[:T, :B]
         fin_pl_np = [fin_to_host(x) for x in fin_planes]
+        return _finish(fin_pl_np, fin_ub, scal, us_p, es_p, qs_p, ub_np,
+                       begs_np, None, B, Bp, qlen, tlen)
+
+    def _finish(fin_pl_np, fin_ub, scal, us_p, es_p, qs_p, ub_np, begs_np,
+                codes_np, B, Bp, qlen, tlen):
         fin_us_np = fin_pl_np[0]
         fin_ub_np = np.asarray(fin_ub).transpose(1, 0, 2).reshape(
             UBR, Bp)[:WS + 1, :B]
@@ -874,7 +1018,7 @@ def make_forward(T: int, W: int, mode: int, piecewise: int, gapo1: int,
             te = tlen - 1
         else:
             score, qe, te = scal_np[3], scal_np[4], scal_np[5]
-        planes = RowPlanes(us_p, es_p, qs_p, ub_np, begs_np)
+        planes = RowPlanes(us_p, es_p, qs_p, ub_np, begs_np, codes_np)
         return ForwardResult(planes, score.astype(np.int64), qe, te,
                              fin_us_np, fin_ub_np, fin_rbeg,
                              fin_pl_np, scal_np)

@@ -997,8 +997,11 @@ class BSPOA:
                  rlen: int) -> AlnResult:
         g = self.g
         if realn and rid:
-            for i in range(rbeg, rbeg + rlen):
-                g.cut_rdnode(rid, i, 3)
+            if g._native is not None:
+                NR.g_cut_range_asc(g, rid, rbeg, rbeg + rlen, 3)
+            else:
+                for i in range(rbeg, rbeg + rlen):
+                    g.cut_rdnode(rid, i, 3)
         self.todels = []
         if rlen == 0:
             return AlnResult()
