@@ -108,7 +108,7 @@ def _lanes_dn(x, k):
 @functools.lru_cache(maxsize=64)
 def _get_call(T, W, mode, piecewise, gapo1, gape1, gapo2, gape2, nt_max,
               nt_min, BL, Rs, NCH, Tp, NB, uniform_mtx, interpret, S=1,
-              emit="planes"):
+              emit="planes", defer=True):
     BW = W * WS
     CPW = -(-W // 8)   # packed code words per stripe-row (8 nibbles/word)
     GapE = gape1
@@ -328,9 +328,10 @@ def _get_call(T, W, mode, piecewise, gapo1, gape1, gapo2, gape2, nt_max,
         # closed-form f' (correct up to the first wrap)
         s_arr = t + f_new[:-1] - (ub[1:WS] - ub[:WS - 1])
         wrapped = (s_arr > 127) & (fs0[1:] < s_arr)
-        return f_new, jnp.sum(wrapped.astype(I32)), fs0
+        nw = jnp.sum(wrapped.astype(I32), axis=0, keepdims=True)  # (1, BL)
+        return f_new, nw, fs0
 
-    def row_cal(qp, qlast, us0, es0, qs0, ub0, rh):
+    def row_cal(qp, qlast, us0, es0, qs0, ub0, rh, optimistic=False):
         if piecewise == 0:
             t0 = us0[0, 0:1] + GapE
         elif piecewise == 1:
@@ -381,16 +382,27 @@ def _get_call(T, W, mode, piecewise, gapo1, gape1, gapo2, gape2, nt_max,
                 g = _subs8(g, u)
             h = qnext[x]
         f_cl, nw_f, fs0_f = fpen(f, ub0, GapE)
-        if piecewise == 2:
+        viol = None
+        if optimistic:
+            # deferred-sync mode: trust the closed form, report per-pair
+            # wrap counts so the chunk driver replays flagged blocks exactly
+            if piecewise == 2:
+                g_cl, nw_g, fs0_g = fpen(g, ub0, GapP)
+                f, g = f_cl, g_cl
+                viol = nw_f + nw_g
+            else:
+                f = f_cl
+                viol = nw_f
+        elif piecewise == 2:
             g_cl, nw_g, fs0_g = fpen(g, ub0, GapP)
             f, g = jax.lax.cond(
-                nw_f + nw_g == 0, lambda o: (o[0], o[1]),
+                jnp.sum(nw_f + nw_g) == 0, lambda o: (o[0], o[1]),
                 lambda o: (fpen_seq(o[2], o[4], GapE),
                            fpen_seq(o[3], o[4], GapP)),
                 (f_cl, g_cl, fs0_f, fs0_g, ub0))
         else:
             f = jax.lax.cond(
-                nw_f == 0, lambda o: o[0],
+                jnp.sum(nw_f) == 0, lambda o: o[0],
                 lambda o: fpen_seq(o[1], o[2], GapE), (f_cl, fs0_f, ub0))
 
         # --- pass 2: u/e/q difference planes + anchors ---
@@ -475,7 +487,98 @@ def _get_call(T, W, mode, piecewise, gapo1, gape1, gapo2, gape2, nt_max,
         else:
             us1 = us1_0[None]
         ub1 = jnp.concatenate([ub_0, ub_hi], axis=0)
-        return us1, es1, qs1, ub1
+        return us1, es1, qs1, ub1, viol
+
+    def row_scan(qp, qlast, us0, es0, ub0, rh):
+        """Min-max-plus prefix-scan reformulation of row_cal (pw 0/1).
+
+        The serial F-chain step f_{x+1} = clip(max(max(m_x, f_x) + GapX,
+        -128) - u_x, -128, 127) composes as clamp-affine maps
+        f -> min(max(f + a, b), 127); dropping the upper clamp makes the
+        composition a pure max-plus scan (a_x = GapE - u_x,
+        b_x = max(max(m_x + GapX, -128) - u_x, -128)), computed for all x
+        in log2(W) shifted combines instead of a 2*W-step serial chain.
+        Exact unless some unclamped f exceeds 127 (then clamping would
+        have bitten); that case is detected soundly — scan values are
+        exact up to the first clamp hit — and reported per pair for the
+        chunk-replay driver. Validated exhaustively vs the serial
+        semantics in round-3 prototyping (6k random trials incl.
+        adversarial ranges, zero mismatches)."""
+        GapX = GapOE if piecewise == 1 else GapE
+        if piecewise == 1:
+            t0 = us0[0, 0:1] + es0[0, 0:1]
+        else:
+            t0 = us0[0, 0:1] + GapE
+        h0 = (rh - ub0[0:1]) + qp[0, 0:1]
+        h0 = jnp.where(h0 >= t0, jnp.minimum(h0, SCORE_EPI8_MAX), MIN8)
+        h0 = _wrap8(h0)
+        qp0 = jnp.concatenate([h0, qp[0, 1:]], axis=0)
+        z = jnp.concatenate([qp0[None], qp[1:]], axis=0)     # [W, WS, BL]
+
+        if piecewise == 1:
+            e = jnp.maximum(es0 + us0, -128)
+        else:
+            e = jnp.maximum(us0 + GapE, -128)
+        m = jnp.maximum(e, z)
+        a = GapE - us0
+        b = jnp.maximum(jnp.maximum(m + GapX, -128) - us0, -128)
+        # inclusive Hillis-Steele scan of the (a, b) step monoid along x:
+        # combine(lo, hi) = (a_lo + a_hi, max(b_lo + a_hi, b_hi))
+        ca, cb = a, b
+        k = 1
+        while k < W:
+            sa = jnp.concatenate(
+                [jnp.zeros((k, WS, BL), I32), ca[:-k]], axis=0)
+            sb = jnp.concatenate(
+                [jnp.full((k, WS, BL), NEGK, I32), cb[:-k]], axis=0)
+            cb = jnp.maximum(sb + ca, cb)
+            ca = ca + sa
+            k *= 2
+        if W > 1:
+            A_ex = jnp.concatenate(
+                [jnp.zeros((1, WS, BL), I32), ca[:-1]], axis=0)
+            B_ex = jnp.concatenate(
+                [jnp.full((1, WS, BL), NEGK, I32), cb[:-1]], axis=0)
+        else:
+            A_ex = jnp.zeros((1, WS, BL), I32)
+            B_ex = jnp.full((1, WS, BL), NEGK, I32)
+        # pass 1: per-lane chains start at MIN8; only the lane-end values
+        # feed the inter-lane head ripple
+        f_end = jnp.maximum(MIN8 + ca[W - 1], cb[W - 1])     # [WS, BL]
+        heads, nw, _ = fpen(f_end, ub0, GapE)
+        # pass 2: same composition applied to the corrected heads
+        f = jnp.maximum(heads[None] + A_ex, B_ex)
+        clip_hi = jnp.maximum(jnp.max(f, axis=0), f_end) > 127
+        viol = nw + jnp.sum(clip_hi.astype(I32), axis=0, keepdims=True)
+        h = jnp.maximum(m, f)
+
+        v = jnp.clip(h - us0, -128, 127)
+        v_prev = jnp.concatenate(
+            [jnp.zeros((1, WS, BL), I32), v[:-1]], axis=0)
+        us1 = jnp.clip(h - v_prev, -128, 127)
+        es1 = None
+        if piecewise == 1:
+            es1 = jnp.maximum(jnp.maximum(e + GapE, -128) - h, GapOE)
+        if piecewise == 1:
+            h_fin = jnp.clip(
+                jnp.maximum(h[W - 1] + GapOE, -128) - GapOE, -128, 127)
+        else:
+            h_fin = h[W - 1]
+        u_last = us0[W - 1]
+
+        # --- tail codes (same as row_cal, bsalign.h:2618-2636) ---
+        v2 = _subs8(h_fin, u_last)
+        ub_hi = ub0[1:WS + 1] + v2
+        v3 = jnp.concatenate([jnp.zeros((1, BL), I32), v2[:-1]], axis=0)
+        us1_0 = _subs8(us1[0], v3)
+        ub_0 = ub0[0:1] + us1_0[0:1]
+        us1_0 = jnp.concatenate([jnp.zeros((1, BL), I32), us1_0[1:]], axis=0)
+        if W > 1:
+            us1 = jnp.concatenate([us1_0[None], us1[1:]], axis=0)
+        else:
+            us1 = us1_0[None]
+        ub1 = jnp.concatenate([ub_0, ub_hi], axis=0)
+        return us1, es1, ub1, viol
 
     # ---------- packed traceback codes (align/btcodes.py contract) ----------
     NEGK = -(1 << 30)   # "no predecessor": can never satisfy a score identity
@@ -599,6 +702,9 @@ def _get_call(T, W, mode, piecewise, gapo1, gape1, gapo2, gape2, nt_max,
         scratch = refs[11 + n_out:]
         s_planes = scratch[:n_pl]
         s_ub, s_win, s_reg = scratch[n_pl:n_pl + 3]
+        if defer:
+            s_save = scratch[n_pl + 3:2 * n_pl + 3]
+            sv_ub, sv_reg = scratch[2 * n_pl + 3:2 * n_pl + 5]
         tc = pl.program_id(1)
         row0 = row0_r[0, 0]
 
@@ -631,7 +737,7 @@ def _get_call(T, W, mode, piecewise, gapo1, gape1, gapo2, gape2, nt_max,
             win = gbuf[:W * SLANES]
             return jnp.transpose(win.reshape(SLANES, W, BL), (1, 0, 2))
 
-        def row_step(s, r):
+        def row_step(s, r, optimistic=False):
             i = row0 + tc * Rs + r                           # global row
             qlen_v = qltz[s, 0:1]
             tlen_v = qltz[s, 1:2]
@@ -662,48 +768,72 @@ def _get_call(T, W, mode, piecewise, gapo1, gape1, gapo2, gape2, nt_max,
                 inner = jnp.where(i == 0, 0, base_rh)        # scalar
                 rh_nomove = jnp.where(rbeg > 0, SCORE_MIN, inner)
 
-            # one fused scalar sync for both control decisions:
-            # sum preserves "any pair" for each flag exactly
             macc_pre = macc + mov_eff
-            packed = jnp.sum((mov_eff > TF).astype(I32) * 256
-                             + (macc_pre > SLACK_BUDGET).astype(I32))
-            any_slow = packed >= 256
+            viol = None
+            if optimistic:
+                # deferred-sync row: always the fast tier + incremental
+                # window shift, pure vector code — violations (band move
+                # beyond the fast tier, window slack exhausted, int8 wrap
+                # in the scan closed forms) are accumulated per pair and
+                # resolved by an exact chunk replay, amortizing the
+                # per-row scalar syncs to one per Rs rows.
+                viol = ((mov_eff > TF).astype(I32)
+                        + (macc_pre > SLACK_BUDGET).astype(I32))
+                outs_p, ub0 = movx_fast(planes, ub, mov_eff)
+                rh_move = rh_move_fast(planes[0], ub, mov_eff)
+                macc_n = macc_pre
+                s_win[s] = plane_shift_fast(s_win[s], mov_eff)
+            else:
+                # one fused scalar sync for both control decisions:
+                # sum preserves "any pair" for each flag exactly
+                packed = jnp.sum((mov_eff > TF).astype(I32) * 256
+                                 + (macc_pre > SLACK_BUDGET).astype(I32))
+                any_slow = packed >= 256
 
-            def fast_tier(ops):
-                pls, ubv, me = ops
-                o, ub_n = movx_fast(pls, ubv, me)
-                return o, ub_n, rh_move_fast(pls[0], ubv, me)
+                def fast_tier(ops):
+                    pls, ubv, me = ops
+                    o, ub_n = movx_fast(pls, ubv, me)
+                    return o, ub_n, rh_move_fast(pls[0], ubv, me)
 
-            def slow_tier(ops):
-                pls, ubv, me = ops
-                o, ub_n = movx_general(pls, ubv, me)
-                return o, ub_n, getscore_general(pls[0], ubv,
-                                                 jnp.maximum(me - 1, 0))
+                def slow_tier(ops):
+                    pls, ubv, me = ops
+                    o, ub_n = movx_general(pls, ubv, me)
+                    return o, ub_n, getscore_general(pls[0], ubv,
+                                                     jnp.maximum(me - 1, 0))
 
-            outs_p, ub0, rh_move = jax.lax.cond(
-                jnp.logical_not(any_slow), fast_tier, slow_tier,
-                (planes, ub, mov_eff))
+                outs_p, ub0, rh_move = jax.lax.cond(
+                    jnp.logical_not(any_slow), fast_tier, slow_tier,
+                    (planes, ub, mov_eff))
             us0 = outs_p[0]
             es0 = outs_p[1] if piecewise >= 1 else None
             qs0 = outs_p[2] if piecewise == 2 else None
             rh = jnp.where(cond_move, rh_move, rh_nomove)
 
-            # --- query window upkeep ---
-            macc_n = macc_pre
-            trig = ((packed & 255) > 0) | any_slow
+            if not optimistic:
+                # --- query window upkeep ---
+                macc_n = macc_pre
+                trig = ((packed & 255) > 0) | any_slow
 
-            @pl.when(jnp.logical_not(trig))
-            def _shift_win():
-                s_win[s] = plane_shift_fast(s_win[s], mov_eff)
+                @pl.when(jnp.logical_not(trig))
+                def _shift_win():
+                    s_win[s] = plane_shift_fast(s_win[s], mov_eff)
 
-            @pl.when(trig)
-            def _refresh():
-                s_win[s] = refresh_win(s, rbeg_n)
+                @pl.when(trig)
+                def _refresh():
+                    s_win[s] = refresh_win(s, rbeg_n)
 
-            macc_n = jnp.where(trig, 0, macc_n)
+                macc_n = jnp.where(trig, 0, macc_n)
             qp, qlast = qprof_from_win(s_win[s], tbase, mtx5)
 
-            us1, es1, qs1, ub1 = row_cal(qp, qlast, us0, es0, qs0, ub0, rh)
+            if optimistic and piecewise < 2:
+                us1, es1, ub1, v2 = row_scan(qp, qlast, us0, es0, ub0, rh)
+                qs1 = None
+                viol = viol + v2
+            else:
+                us1, es1, qs1, ub1, v2 = row_cal(
+                    qp, qlast, us0, es0, qs0, ub0, rh, optimistic=optimistic)
+                if optimistic:
+                    viol = viol + v2
             new_planes = [p for p in (us1, es1, qs1) if p is not None]
 
             # --- adaptive band + global steering (bsalign.h:4006-4021) ---
@@ -755,10 +885,51 @@ def _get_call(T, W, mode, piecewise, gapo1, gape1, gapo2, gape2, nt_max,
             s_reg[s, REG_RBEG:REG_RBEG + 1] = jnp.where(active, rbeg_n, rbeg)
             s_reg[s, REG_MOV:REG_MOV + 1] = jnp.where(active, mov_n, mov)
             s_reg[s, REG_MACC:REG_MACC + 1] = macc_n
+            return viol
 
-        for r in range(Rs):
+        if defer:
+            # Optimistic chunk with exact replay: run all Rs rows with the
+            # branch-free fast path (no per-row vector->scalar syncs), then
+            # ONE scalar check; if any pair hit a violation, restore the
+            # chunk-entry state and replay with the exact per-row logic.
+            # The soft window refresh below keeps slack from running out in
+            # the common case (vector-blended per pair, no sync); the hard
+            # budget check in row_step still catches overruns exactly.
             for s in range(S):
-                row_step(s, r)
+                macc0 = s_reg[s, REG_MACC:REG_MACC + 1]
+                need = macc0 > SLACK_BUDGET - TF * Rs
+                win_f = refresh_win(s, s_reg[s, REG_RBEG:REG_RBEG + 1])
+                s_win[s] = jnp.where(need[None], win_f, s_win[s])
+                s_reg[s, REG_MACC:REG_MACC + 1] = jnp.where(need, 0, macc0)
+                for sv, sp in zip(s_save, s_planes):
+                    sv[s] = sp[s]
+                sv_ub[s] = s_ub[s]
+                sv_reg[s] = s_reg[s]
+            vflag = jnp.zeros((1, BL), I32)
+            for r in range(Rs):
+                for s in range(S):
+                    vflag = vflag + row_step(s, r, optimistic=True)
+
+            @pl.when(jnp.sum(vflag) > 0)
+            def _replay():
+                for s in range(S):
+                    for sp, sv in zip(s_planes, s_save):
+                        sp[s] = sv[s]
+                    s_ub[s] = sv_ub[s]
+                    s_reg[s] = sv_reg[s]
+                    # refresh reproduces the incremental window's valid
+                    # read region exactly; macc restarts with it
+                    s_win[s] = refresh_win(
+                        s, sv_reg[s, REG_RBEG:REG_RBEG + 1])
+                    s_reg[s, REG_MACC:REG_MACC + 1] = jnp.zeros((1, BL),
+                                                                I32)
+                for r in range(Rs):
+                    for s in range(S):
+                        row_step(s, r)
+        else:
+            for r in range(Rs):
+                for s in range(S):
+                    row_step(s, r)
 
         # final-state outputs (revisited block; last chunk's write wins)
         for s in range(S):
@@ -834,6 +1005,12 @@ def _get_call(T, W, mode, piecewise, gapo1, gape1, gapo2, gape2, nt_max,
         pltpu.VMEM((S, W, SLANES, BL), I32),                 # s_win
         pltpu.VMEM((S, 8, BL), I32),                         # s_reg
     ]
+    if defer:
+        scratch += [pltpu.VMEM((S, W, WS, BL), I32)
+                    for _ in range(n_pl)] + [
+            pltpu.VMEM((S, WS + 1, BL), I32),                # sv_ub
+            pltpu.VMEM((S, 8, BL), I32),                     # sv_reg
+        ]
     call = pl.pallas_call(
         kernel,
         grid=(NB // S, TC),
@@ -850,7 +1027,7 @@ def make_forward(T: int, W: int, mode: int, piecewise: int, gapo1: int,
                  gape1: int, gapo2: int, gape2: int, nt_max: int, nt_min: int,
                  jit: bool = True, *, BL: int = 128, Rs: int = 16,
                  S: int = 1, scores_only: bool = False, codes: bool = False,
-                 interpret=None):
+                 interpret=None, defer=None):
     """Drop-in replacement for banded8_jax.make_forward using the Pallas
     kernel. Same call signature and ForwardResult contract.
 
@@ -867,6 +1044,10 @@ def make_forward(T: int, W: int, mode: int, piecewise: int, gapo1: int,
         raise ValueError("codes mode covers piecewise 0/1 only")
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+    if defer is None:
+        import os
+        defer = os.environ.get("BSA_K8_DEFER", "1") != "0"
+    defer_eff = bool(defer)
 
     def prepare(qpad, qlen, tseq, tlen, mtx5, rby, init_us, init_es, init_qs,
                 init_ub, init_reg=None, row0=0):
@@ -941,7 +1122,7 @@ def make_forward(T: int, W: int, mode: int, piecewise: int, gapo1: int,
 
         call = _get_call(T, W, mode, piecewise, gapo1, gape1, gapo2, gape2,
                          nt_max, nt_min, BL, Rs, NCH, Tp, NB, uniform,
-                         bool(interpret), S, emit)
+                         bool(interpret), S, emit, bool(defer_eff))
         qltz = np.zeros((NB, 8, BL), np.int32)
         qltz[:, 0] = ql_f.reshape(NB, BL)
         qltz[:, 1] = tl_f.reshape(NB, BL)
