@@ -67,6 +67,9 @@ def _init_state(mode, bandwidth, piecewise, smax, smin, gapo1, gape1, gapo2,
 DEVICE_CHUNK = 256  # pairs per forward call: peak VPU throughput, fits VMEM
 T_CHUNK = 4096      # rows per device call for long targets (bounds the HBM
                     # held by traceback planes: T_CHUNK*BW*B bytes per plane)
+REALIGN_T = 16384   # beyond this many rows, score first and re-forward row
+                    # chunks on demand for the traceback (two-pass mode;
+                    # override with BSA_REALIGN_T, 0 disables)
 
 
 def _forward_chunked(eng, T, W, mode, piecewise, gapo1, gape1, gapo2, gape2,
@@ -191,6 +194,16 @@ def _launch_batch(qseqs, tseqs, mode, bandwidth, mtx, gapo1, gape1, gapo2,
     fwd_args = (qpad, qlens, tpad, tlens, _mtx5(mtx), rby, us0, es0, qs0,
                 ub0)
     if chunked:
+        rt = int(os.environ.get("BSA_REALIGN_T", str(REALIGN_T)))
+        if use_codes and rt and T > rt:
+            from ..native import rowops as NR
+            if NR.available():
+                # two-pass long-read mode: scores-only forward now, codes
+                # re-forwarded chunk by chunk inside the finisher
+                return lambda: _twopass_batch(
+                    eng, T, W, mode, bandwidth, piecewise, mtx, gapo1,
+                    gape1, gapo2, gape2, smax, smin, qseqs, tseqs,
+                    fwd_args, T_CHUNK, fwd_cells, t_launch)
         res0 = _forward_chunked(eng, T, W, mode, piecewise, gapo1, gape1,
                                 gapo2, gape2, smax, smin, *fwd_args,
                                 Tc=T_CHUNK, codes=use_codes)
@@ -230,12 +243,6 @@ def _finish_batch(get_res, qseqs, tseqs, mode, bandwidth, W, piecewise, mtx,
         qs_p = None if planes.qs is None else np.asarray(planes.qs)
         ub_p = np.asarray(planes.ubegs)
     begs_p = np.asarray(planes.begs)
-    score = np.asarray(res.score)
-    qe = np.asarray(res.qe)
-    te = np.asarray(res.te)
-    fin_us = np.asarray(res.final_us)
-    fin_ub = np.asarray(res.final_ubegs)
-    fin_rbeg = np.asarray(res.final_rbeg)
 
     out = []
     init_row = O.row_init(mode, bandwidth, smax, smin, gapo1, gape1, gapo2,
@@ -257,20 +264,10 @@ def _finish_batch(get_res, qseqs, tseqs, mode, bandwidth, W, piecewise, mtx,
         else:
             init_eo = np.ones(bandwidth, np.uint8)
     is_overlap = mode_type(mode) == MODE_OVERLAP
+    rss = _base_results(res, mode, W, tlens)
     for b in range(B):
         tl = int(tlens[b])
-        rs = AlnResult(score=int(score[b]), qe=int(qe[b]), te=int(te[b]))
-        if mode_type(mode) != MODE_GLOBAL:
-            # final-row row_max candidate (bsalign.h:4039-4044)
-            stf = O.RowState.__new__(O.RowState)
-            stf.us = fin_us[:, :, b].astype(np.int8)
-            stf.es = stf.qs = None
-            stf.ubegs = fin_ub[:, b].astype(np.int64)
-            rmax, max_score = O.row_max(stf, W)
-            if max_score > rs.score:
-                rs.score = max_score
-                rs.qe = int(fin_rbeg[b]) + rmax
-                rs.te = tl - 1
+        rs = rss[b]
         if use_codes:
             if use_native:
                 cigars = NR.decode_codes(qseqs[b], tseqs[b], codes_w, begs_p,
@@ -300,4 +297,152 @@ def _finish_batch(get_res, qseqs, tseqs, mode, bandwidth, W, piecewise, mtx,
                                mode, bandwidth, mtx, gapo1, gape1, gapo2,
                                gape2, rs)
         out.append((rs, cigars))
+    return out
+
+
+def _base_results(res, mode, W, tlens):
+    """Per-pair AlnResult seeded from the forward's score/end positions,
+    including the non-global final-row row_max candidate
+    (bsalign.h:4039-4044)."""
+    score = np.asarray(res.score)
+    qe = np.asarray(res.qe)
+    te = np.asarray(res.te)
+    fin_us = np.asarray(res.final_us)
+    fin_ub = np.asarray(res.final_ubegs)
+    fin_rbeg = np.asarray(res.final_rbeg)
+    rss = []
+    for b in range(len(score)):
+        rs = AlnResult(score=int(score[b]), qe=int(qe[b]), te=int(te[b]))
+        if mode_type(mode) != MODE_GLOBAL:
+            stf = O.RowState.__new__(O.RowState)
+            stf.us = fin_us[:, :, b].astype(np.int8)
+            stf.es = stf.qs = None
+            stf.ubegs = fin_ub[:, b].astype(np.int64)
+            rmax, max_score = O.row_max(stf, W)
+            if max_score > rs.score:
+                rs.score = max_score
+                rs.qe = int(fin_rbeg[b]) + rmax
+                rs.te = int(tlens[b]) - 1
+        rss.append(rs)
+    return rss
+
+
+def _twopass_batch(eng, T, W, mode, bandwidth, piecewise, mtx, gapo1, gape1,
+                   gapo2, gape2, smax, smin, qseqs, tseqs, fwd_args, Tc,
+                   fwd_cells, t_launch):
+    """Two-pass long-read alignment (VERDICT r2 #9): a scores-only chunked
+    forward checkpoints each chunk's entry state (planes + band registers,
+    O(BW*B) per chunk), then chunks are re-forwarded in REVERSE order
+    emitting packed traceback codes, which the native resumable walker
+    consumes incrementally. Peak memory is O(Tc*B) codes + O(T/Tc) small
+    checkpoints instead of O(T*B) codes/planes, so 100 kb targets run at
+    full batch. The chunk k-1 re-forward is dispatched before walking
+    chunk k's codes, overlapping device DP with the host traceback."""
+    from ..native import rowops as NR
+    from ..utils import metrics
+    (qpad, qlens, tpad, tlens, mtx5, rby, us0, es0, qs0, ub0) = fwd_args
+    B = len(qseqs)
+
+    # ---- pass 1: scores-only forward, checkpointing chunk-entry state ----
+    fwd_s = eng.make_forward(Tc, W, mode, piecewise, gapo1, gape1, gapo2,
+                             gape2, smax, smin, scores_only=True)
+    ck = []
+    us, es, qs, ub, reg = us0, es0, qs0, ub0, None
+    res = None
+    for c0 in range(0, T, Tc):
+        c1 = min(c0 + Tc, T)
+        ck.append((us, es, qs, ub, reg))
+        res = fwd_s(qpad, qlens, tpad[:, c0:c1], tlens, mtx5, rby[c0:c1],
+                    us, es, qs, ub, init_reg=reg, row0=c0)
+        fp = res.final_planes
+        us = fp[0]
+        es = fp[1] if piecewise >= 1 else None
+        qs = fp[2] if piecewise == 2 else None
+        ub_full = np.zeros((WS + 1, us.shape[2]), np.int32)
+        ub_full[:] = res.final_ubegs
+        ub = ub_full
+        reg = res.final_reg
+    metrics.add("banded8_fwd", fwd_cells, time.time() - t_launch)
+
+    rss = _base_results(res, mode, W, tlens)
+    init_row = O.row_init(mode, bandwidth, smax, smin, gapo1, gape1, gapo2,
+                          gape2)
+    if piecewise and init_row.es is not None:
+        init_eo = np.ascontiguousarray(
+            (init_row.es.T.reshape(-1) == gapo1 + gape1), np.uint8)
+    else:
+        init_eo = np.ones(bandwidth, np.uint8)
+    is_overlap = mode_type(mode) == MODE_OVERLAP
+
+    qflat = np.ascontiguousarray(np.concatenate(
+        [np.asarray(q, np.uint8) for q in qseqs]))
+    tflat = np.ascontiguousarray(np.concatenate(
+        [np.asarray(t, np.uint8) for t in tseqs]))
+    qoffs = np.zeros(B + 1, np.int64)
+    qoffs[1:] = np.cumsum([len(q) for q in qseqs])
+    toffs = np.zeros(B + 1, np.int64)
+    toffs[1:] = np.cumsum([len(t) for t in tseqs])
+    st = NR.walk_init([rs.qe for rs in rss], [rs.te for rs in rss])
+    cg_buf = np.zeros((B, 2 * Tc + 64), np.uint32)
+    parts = [[] for _ in range(B)]
+
+    def _walk_chunk(pend):
+        get, c0, c1, regk = pend
+        with metrics.timed("banded8_refwd", float(B) * (c1 - c0) * bandwidth):
+            r = get()
+            codes_c = np.ascontiguousarray(r.planes.codes)
+            begs_c = np.ascontiguousarray(r.planes.begs, np.int32)
+        if regk is not None:
+            beg_prev = np.ascontiguousarray(np.asarray(regk)[0], np.int32)
+        else:
+            beg_prev = np.zeros(B, np.int32)
+        NR.walk_codes_chunk(qflat, qoffs, tflat, toffs, codes_c, begs_c,
+                            beg_prev, init_eo, c0, c1, is_overlap,
+                            bandwidth, st, cg_buf)
+        for b in range(B):
+            n = int(st[b, NR.WK_NCG])
+            if n:
+                parts[b].append(cg_buf[b, :n].copy())
+
+    # ---- pass 2: reverse chunk re-forward (codes) + incremental walk ----
+    fwd_c = eng.make_forward(Tc, W, mode, piecewise, gapo1, gape1, gapo2,
+                             gape2, smax, smin, codes=True)
+    pend = None
+    for k in range(-(-T // Tc) - 1, -1, -1):
+        c0 = k * Tc
+        c1 = min(c0 + Tc, T)
+        usk, esk, qsk, ubk, regk = ck[k]
+        if hasattr(fwd_c, "prepare"):
+            call, ops, meta = fwd_c.prepare(
+                qpad, qlens, tpad[:, c0:c1], tlens, mtx5, rby[c0:c1], usk,
+                esk, qsk, ubk, regk, c0)
+            outs = call(*ops)
+            get = (lambda outs=outs, meta=meta: fwd_c.unpack(outs, *meta))
+        else:
+            r0 = fwd_c(qpad, qlens, tpad[:, c0:c1], tlens, mtx5, rby[c0:c1],
+                       usk, esk, qsk, ubk, init_reg=regk, row0=c0)
+            get = (lambda r0=r0: r0)
+        if pend is not None:
+            _walk_chunk(pend)
+        pend = (get, c0, c1, regk)
+    _walk_chunk(pend)
+
+    out = []
+    for b in range(B):
+        s = st[b]
+        if int(s[NR.WK_DONE]) != 1:
+            raise RuntimeError("chunked codes walk did not complete")
+        rs = rss[b]
+        rs.qb = int(s[NR.WK_QB]) + 1
+        rs.tb = int(s[NR.WK_TB]) + 1
+        rs.qe += 1
+        rs.te += 1
+        rs.mat = int(s[NR.WK_MAT])
+        rs.mis = int(s[NR.WK_MIS])
+        rs.ins = int(s[NR.WK_INS])
+        rs.dele = int(s[NR.WK_DEL])
+        rs.aln = int(s[NR.WK_ALN])
+        words = (np.concatenate(parts[b]) if parts[b]
+                 else np.zeros(0, np.uint32))
+        out.append((rs, [int(x) for x in words[::-1]]))
     return out

@@ -201,6 +201,14 @@ def rowops_lib():
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long,
         ]
         lib.bsa_decode_codes.restype = ctypes.c_long
+        lib.bsa_walk_codes_chunk.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long, ctypes.c_long,
+            ctypes.c_long, ctypes.c_int, ctypes.c_int, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_long,
+        ]
+        lib.bsa_walk_codes_chunk.restype = ctypes.c_long
         ge_args = [ctypes.c_void_p] * 12
         lib.bsa_g_chg_edge.argtypes = ge_args + [ctypes.c_long] * 3
         lib.bsa_g_chg_edge.restype = ctypes.c_long

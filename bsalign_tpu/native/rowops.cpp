@@ -1238,6 +1238,196 @@ extern "C" long bsa_decode_codes(
     return (long)acc.size();
 }
 
+// Resumable chunked walk of packed traceback codes: advances all B pairs'
+// tracebacks through band rows [t0, t1). The two-pass long-read driver
+// (align/pairwise.py) runs a scores-only forward first, then re-forwards
+// row chunks in REVERSE order (from checkpointed chunk-entry states) and
+// calls this per chunk — so 100 kb targets never hold full-T code buffers.
+// Per-pair walk state persists in st[] (int64 x WK_NST) between calls;
+// completed CIGAR words are appended to cg_out per call in WALK order
+// (reverse of final order — the driver reverses once at the end).
+// Walk semantics are identical to bsa_decode_codes above.
+enum { WK_QB, WK_TB, WK_PM, WK_DJ, WK_CG, WK_NCG, WK_MAT, WK_MIS,
+       WK_INS, WK_DEL, WK_ALN, WK_DONE, WK_NST };
+static const long long WK_NOJ = -(1LL << 60);
+
+extern "C" long bsa_walk_codes_chunk(
+    const uint8_t *qflat, const i64 *qoffs,              // [sum qlen], [B+1]
+    const uint8_t *tflat, const i64 *toffs,
+    const i32 *codes, int CPW,                           // [t1-t0,CPW,16,B]
+    const i32 *begs_c,                                   // [t1-t0, B]
+    const i32 *beg_prev,                                 // [B]: beg(t0-1)
+    const uint8_t *init_eo,                              // [BW]
+    long B, long t0, long t1, int is_overlap, int bandwidth,
+    long long *st,                                       // [B, WK_NST]
+    uint32_t *cg_out, long cg_cap) {                     // [B, cg_cap]
+    const int W = bandwidth / WSZ;
+    const long BW = bandwidth;
+    long err = 0;
+    for (long b = 0; b < B; b++) {
+        long long *s = st + b * WK_NST;
+        s[WK_NCG] = 0;
+        if (s[WK_DONE]) continue;
+        const uint8_t *qseq = qflat + qoffs[b];
+        const uint8_t *tseq = tflat + toffs[b];
+        long qb = s[WK_QB], tb = s[WK_TB];
+        if (tb < t0 && s[WK_DJ] == WK_NOJ) continue;     // earlier chunk
+        uint32_t cg = (uint32_t)s[WK_CG];
+        long ncg = 0;
+        uint32_t *out = cg_out + b * cg_cap;
+        bool full = false;
+        auto push = [&](uint32_t op, uint32_t sz) {
+            if (op == (cg & 0xF)) {
+                cg += sz << 4;
+            } else {
+                if (cg) {
+                    if (ncg >= cg_cap) { full = true; return; }
+                    out[ncg++] = cg;
+                }
+                cg = (sz << 4) | op;
+            }
+        };
+        auto beg_of = [&](long j) -> long {
+            if (j < 0) return 0;
+            if (j < t0) return (long)beg_prev[b];        // j == t0-1 only
+            return (long)begs_c[(size_t)(j - t0) * B + b];
+        };
+        auto code_at = [&](long j, long p) -> int {      // j in [t0, t1)
+            const int x = (int)(p % W), y = (int)(p / W);
+            const i32 w = codes[
+                (((size_t)(j - t0) * CPW + (x >> 3)) * WSZ + y) * B + b];
+            return (w >> (4 * (x & 7))) & 15;
+        };
+        auto eo_bit = [&](long j, long p) -> bool {      // j >= t0 or j < 0
+            if (j <= -2) return true;
+            if (j == -1) return (p >= 0 && p < BW) ? (init_eo[p] != 0)
+                                                   : true;
+            const long xi = p - beg_of(j);
+            if (xi >= 0 && xi < BW) return (code_at(j, xi) & 4) != 0;
+            return true;
+        };
+        auto fo_bit = [&](long j, long p) -> bool {
+            const long xi = p - beg_of(j);
+            if (xi >= 0 && xi < BW) return (code_at(j, xi) & 8) != 0;
+            return true;
+        };
+        int prior_match = (int)s[WK_PM];
+        // resume a D-run that paused at this chunk's lower edge
+        if (s[WK_DJ] != WK_NOJ) {
+            long j = (long)s[WK_DJ];
+            long sz = tb - j;
+            bool paused = false;
+            while (true) {
+                if (j >= 0 && j < t0) {                  // pause again
+                    s[WK_DJ] = j;
+                    paused = true;
+                    break;
+                }
+                if (!(j >= 0) || eo_bit(j, qb)) break;
+                sz += 1;
+                j -= 1;
+            }
+            if (paused) { s[WK_QB] = qb; s[WK_TB] = tb; s[WK_PM] = prior_match;
+                          s[WK_CG] = cg; s[WK_NCG] = ncg; continue; }
+            s[WK_DJ] = WK_NOJ;
+            push(2, (uint32_t)sz);
+            s[WK_DEL] += sz;
+            s[WK_ALN] += sz;
+            tb -= sz;
+        }
+        while (!full && qb >= 0 && tb >= 0) {
+            if (tb < t0) break;                          // next (earlier) chunk
+            const long bprev = tb >= 1 ? beg_of(tb - 1) : 0;
+            const long x = qb - bprev;
+            if (qb == bprev && qb > 0) prior_match = 0;
+            const long xi = qb - beg_of(tb);
+            const int ci = (xi >= 0 && xi < BW) ? code_at(tb, xi) : 0;
+            const int m = ci & 1, d = (ci >> 1) & 1;
+            int bt;
+            if (x > BW) bt = 1;
+            else if (x == BW) bt = m ? 0 : 1;
+            else if (prior_match) bt = m ? 0 : (d ? 2 : 1);
+            else bt = d ? 2 : (m ? 0 : 1);
+            prior_match = 1;
+            if (bt == 0) {            // M
+                if (qseq[qb] == tseq[tb]) s[WK_MAT] += 1;
+                else s[WK_MIS] += 1;
+                push(0, 1);
+                s[WK_ALN] += 1;
+                qb -= 1;
+                tb -= 1;
+            } else if (bt == 2) {     // D run: walk up until the E chain opens
+                long sz = 1, j = tb - 1;
+                bool paused = false;
+                while (true) {
+                    if (j >= 0 && j < t0) {
+                        s[WK_DJ] = j;
+                        paused = true;
+                        break;
+                    }
+                    if (!(j >= 0) || eo_bit(j, qb)) break;
+                    sz += 1;
+                    j -= 1;
+                }
+                if (paused) break;
+                push(2, (uint32_t)sz);
+                s[WK_DEL] += sz;
+                s[WK_ALN] += sz;
+                tb -= sz;
+            } else {                  // I run: walk left until F chain opens
+                if (qb <= 0) {
+                    push(1, 1);
+                    s[WK_INS] += 1;
+                    s[WK_ALN] += 1;
+                    qb -= 1;
+                } else {
+                    long sz = 1, p = qb;
+                    while (!fo_bit(tb, p) && sz + beg_of(tb) <= qb) {
+                        sz += 1;
+                        p -= 1;
+                    }
+                    push(1, (uint32_t)sz);
+                    s[WK_INS] += sz;
+                    s[WK_ALN] += sz;
+                    qb -= sz;
+                }
+            }
+        }
+        if (full) { s[WK_DONE] = 2; err = -1; }
+        else if (qb < 0 || tb < 0) {                     // finalize this pair
+            if (!is_overlap) {
+                uint32_t op = 0;
+                long sz = 0;
+                if (qb >= 0) {
+                    op = 1;
+                    sz = qb + 1;
+                    s[WK_INS] += sz;
+                    qb = -1;
+                } else if (tb >= 0) {
+                    op = 2;
+                    sz = tb + 1;
+                    s[WK_DEL] += sz;
+                    tb = -1;
+                }
+                s[WK_ALN] += sz;
+                if (sz) push(op, (uint32_t)sz);
+            }
+            if (cg) {
+                if (ncg >= cg_cap) { s[WK_DONE] = 2; err = -1; }
+                else out[ncg++] = cg;
+            }
+            cg = 0;
+            if (s[WK_DONE] != 2) s[WK_DONE] = 1;
+        }
+        s[WK_QB] = qb;
+        s[WK_TB] = tb;
+        s[WK_PM] = prior_match;
+        s[WK_CG] = cg;
+        s[WK_NCG] = ncg;
+    }
+    return err;
+}
+
 // ---- POA graph edge ops over SoA arrays (bspoa.h:430-736) ----
 // Arrays are the same memory the Python Graph exposes; estate =
 // [edge_count, recycle_count, capacity, error].

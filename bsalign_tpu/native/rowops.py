@@ -165,6 +165,43 @@ def decode_codes(qseq, tseq, codes_w, begs_p, init_eo, b, is_overlap,
     return [int(x) for x in cg[:n]]
 
 
+WK_NST = 12        # per-pair walk-state slots (rowops.cpp WK_* enum)
+WK_QB, WK_TB, WK_PM, WK_DJ, WK_CG, WK_NCG = range(6)
+WK_MAT, WK_MIS, WK_INS, WK_DEL, WK_ALN, WK_DONE = range(6, 12)
+WK_NOJ = -(1 << 60)
+
+
+def walk_init(qe, te):
+    """Fresh walk-state array for the chunked codes walker: one row per
+    pair, started at (qe, te) like bsa_decode_codes' entry point."""
+    import numpy as _np
+    B = len(qe)
+    st = _np.zeros((B, WK_NST), _np.int64)
+    st[:, WK_QB] = qe
+    st[:, WK_TB] = te
+    st[:, WK_DJ] = WK_NOJ
+    return st
+
+
+def walk_codes_chunk(qflat, qoffs, tflat, toffs, codes_c, begs_c, beg_prev,
+                     init_eo, t0, t1, is_overlap, bandwidth, st, cg_out):
+    """Advance all pairs' tracebacks through band rows [t0, t1) of one
+    re-forwarded chunk (codes_c [t1-t0(+pad), CPW, WS, B] int32 packed
+    codes). Mutates st in place; completed CIGAR words for this call land
+    in cg_out[b, :st[b, WK_NCG]] in walk order."""
+    lib = rowops_lib()
+    CPW = codes_c.shape[1]
+    B = st.shape[0]
+    r = lib.bsa_walk_codes_chunk(
+        qflat.ctypes.data, qoffs.ctypes.data, tflat.ctypes.data,
+        toffs.ctypes.data, codes_c.ctypes.data, CPW, begs_c.ctypes.data,
+        beg_prev.ctypes.data, init_eo.ctypes.data, B, int(t0), int(t1),
+        int(is_overlap), int(bandwidth), st.ctypes.data,
+        cg_out.ctypes.data, cg_out.shape[1])
+    if r != 0:
+        raise RuntimeError("cigar overflow in chunked codes walk")
+
+
 def g_chg_edge(g, u, v, cov):
     """Native chg_edge over the graph's SoA arrays; returns (eidx, existed)."""
     r = rowops_lib().bsa_gf_chg_edge(*gfull_args(g), u, v, cov)
