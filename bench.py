@@ -59,7 +59,7 @@ def gen_pairs(n, length, err=0.10, seed=0):
     return qs, ts
 
 
-def bench_kernel(qs, ts):
+def bench_kernel(qs, ts, codes=False, scores_only=False):
     """Banded-8 Pallas forward, device-resident operands, queued launches."""
     import jax
     from bsalign_tpu.align import pairwise as P
@@ -70,7 +70,12 @@ def bench_kernel(qs, ts):
                                           len(qs))
     args = (qpad, qlens, tpad, tlens, P._mtx5(mtx), rby, us0, es0, qs0, ub0)
     eng = P._engine()
-    fwd = eng.make_forward(T, BW // 16, 0, 1, -3, -2, 0, 0, 2, -6)
+    kw = {}
+    if codes:
+        kw["codes"] = True
+    if scores_only:
+        kw["scores_only"] = True
+    fwd = eng.make_forward(T, BW // 16, 0, 1, -3, -2, 0, 0, 2, -6, **kw)
     if not hasattr(fwd, "prepare"):
         return None
     call, ops, _meta = fwd.prepare(*args)
@@ -241,6 +246,13 @@ def main():
             bench_e2e(qs, ts, 32), 2)
     except Exception as e:  # keep the headline robust
         extras["e2e_error"] = str(e)[:120]
+    try:
+        extras["kernel_codes_cells_per_s"] = round(
+            bench_kernel(qs, ts, codes=True), 1)
+        extras["kernel_scores_only_cells_per_s"] = round(
+            bench_kernel(qs, ts, scores_only=True), 1)
+    except Exception as e:
+        extras["kernel_modes_error"] = str(e)[:120]
     try:
         extras["edit_kernel_cells_per_s"] = round(
             bench_edit_kernel(qs, ts), 1)
