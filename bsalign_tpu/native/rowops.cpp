@@ -3559,3 +3559,279 @@ extern "C" long bsa_remsa_round(
     }
     return nrds;
 }
+
+// ---- per-read mega-call: sel + band placement + row DP + graph merge ----
+// One C call per read replacing the Python orchestration of BSPOA.align_rd
+// (poa/core.py:996-1027, reference bspoa.h:2064-2272): sel_nodes ->
+// prepare_rd_align (kmer-chained consensus band placement, bspoa.h:1878-
+// 1950) -> align_rd_core -> alignment2graph -> bridge-edge reverts.
+// Returns 0 on success; -9 means "config not handled here" (refmode CIGAR
+// placement, ksz==0 band trigger) and the caller must run the Python path.
+#define GFULL_FWD                                                          \
+    nd_rid, nd_cov, nd_rdc, nd_rdd, nd_nin, nd_nou, nd_edge, nd_erev,      \
+    nd_next, nd_prev, nd_header, ed_node, ed_cov, ed_vst, ed_next,         \
+    estate, ecyc
+
+static void row_init_c(long mode, long bandwidth, long nt_max, long nt_min,
+                       long gapo1, long gape1, long gapo2, long gape2,
+                       i8 *us, i8 *es, i8 *qs, i64 *ubegs) {
+    // port of oracle/banded8.row_init (bsalign.h:2094-2140)
+    const long W = bandwidth / WSZ;
+    const bool pw2 =
+        (gapo2 < gapo1 && gape2 > gape1 && gapo2 + gape2 < gapo1 + gape1
+         && (gapo1 - gapo2) / (gape1 - gape2) < bandwidth);
+    const long mt = mode & 0x3;
+    if (mt == 0 || mt == 2) {              // GLOBAL or EXTEND
+        if (pw2) {
+            const long xp = (gapo2 - gapo1) / (gape1 - gape2);
+            memset(us, (uint8_t)(i8)gape2, (size_t)W * WSZ);
+            for (int k = 0; k < WSZ; k++) ubegs[k] = gape2 * W;
+            us[0] = wrap8(gapo1 + gape1 + nt_min - nt_max);
+            ubegs[0] += (i64)us[0] - gape2;
+            for (long k = 1; k < xp; k++) {
+                // striped coord: us[(k%W)*WSZ + k/W]
+                us[(k % W) * WSZ + k / W] = (i8)gape1;
+                ubegs[k / W] += gape1 - gape2;
+            }
+        } else {
+            memset(us, (uint8_t)(i8)gape1, (size_t)W * WSZ);
+            us[0] = wrap8(gapo1 + gape1 + nt_min - nt_max);
+            for (int k = 0; k < WSZ; k++) ubegs[k] = gape1 * W;
+            ubegs[0] += (i64)us[0] - gape1;
+        }
+        i64 s = nt_max - nt_min;
+        for (int k = 0; k < WSZ; k++) {
+            const i64 t = ubegs[k];
+            ubegs[k] = s;
+            s += t;
+        }
+        ubegs[WSZ] = s;
+    } else {
+        memset(us, 0, (size_t)W * WSZ);
+        for (int k = 0; k <= WSZ; k++) ubegs[k] = 0;
+    }
+    if (pw2) {
+        memset(es, (uint8_t)(i8)SCORE_EPI8_MIN, (size_t)W * WSZ);
+        memset(qs, (uint8_t)(i8)SCORE_EPI8_MIN, (size_t)W * WSZ);
+    } else if (gapo1) {
+        memset(es, (uint8_t)(i8)SCORE_EPI8_MIN, (size_t)W * WSZ);
+    }
+}
+
+extern "C" long bsa_align_rd_full(
+    GFULL_ARGS,
+    i32 *nd_mpos, i32 *nd_vst, i32 *nd_nct, i32 *nd_mmidx,
+    const i32 *nd_base, i32 *nd_bonus, const i32 *nd_bless,
+    i32 *nd_rpos, i32 *nd_cpos,
+    const i64 *ndoffs, long nnodes, long HEADi, long TAILi,
+    const uint8_t *rdseq, const uint8_t *cns, long cnslen,
+    long alnmode, long par_bw, long bwtrigger, long ksz, long nrec,
+    long M, long X, long refbonus, long O_, long E_, long Q_, long P_,
+    long T_,
+    long nseq, long rid, long rbeg, long rend, long realn,
+    i64 *rs_out /*[score,qb,qe,tb,te,mat,mis,ins,del,aln]*/) {
+    const long mt = alnmode & 0x3;
+    const long is_overlap = mt == 1, is_global = mt == 0;
+    if (realn && rid) {
+        for (long pos = rbeg; pos < rend; pos++) {
+            if (bsa_g_cut_rdnode(GFULL_FWD, nnodes, ndoffs[rid] + pos,
+                                 3) < 0)
+                return -1;
+        }
+    }
+    for (int k = 0; k < 10; k++) rs_out[k] = 0;
+    const long rlen = rend - rbeg;
+    if (rlen == 0) return 0;
+    long nhead = nd_header[ndoffs[rid] + rbeg - 1];
+    long ntail = nd_header[ndoffs[rid] + rend];
+    long ridxbeg = 0, ridxend = 0xFFFF;
+    if (!realn && nrec) {
+        ridxbeg = rid - nrec - 1 > 0 ? rid - nrec - 1 : 0;
+        ridxend = rid;
+    }
+    // --- sel_nodes (native body reused) ---
+    thread_local std::vector<uint8_t> states_v;
+    thread_local std::vector<i32> sels_v, stack_v;
+    thread_local std::vector<i64> td_v;
+    states_v.assign(nnodes, 0);
+    sels_v.resize(nnodes + 8);
+    td_v.resize(2 * nnodes + 8);
+    i64 selout[2];
+    if (bsa_sel_nodes(GFULL_FWD, nd_vst, nd_nct, nd_bonus, nd_bless, ndoffs,
+                      nnodes, nhead, ntail, ridxbeg, ridxend, nseq,
+                      states_v.data(), sels_v.data(), (long)sels_v.size(),
+                      td_v.data(), (long)td_v.size(), selout) < 0)
+        return -1;
+    const long nsel = selout[0];
+    thread_local std::vector<i64> todels;
+    todels.assign(td_v.begin(), td_v.begin() + selout[1]);
+    GFULL_PACK;
+    // --- prepare_rd_align (poa/core.py:488-673, non-refmode paths) ---
+    nhead = nd_header[nhead];
+    ntail = nd_header[ntail];
+    const long seqlen = rlen;
+    long qb = 0, qe = seqlen, slen = seqlen;
+    const uint8_t *qseq = rdseq + rbeg;
+    const long reflen = cnslen;
+    long tb = 0, te = reflen;
+    long bandwidth;
+    if (par_bw == 0)
+        bandwidth = (seqlen + WSZ - 1) / WSZ * WSZ;
+    else {
+        const long b0 = par_bw < seqlen ? par_bw : seqlen;
+        bandwidth = (b0 + WSZ - 1) / WSZ * WSZ;
+    }
+    thread_local std::vector<u4> cg_v;
+    long ncg = 0;
+    long x = 0, y = 0;
+    if (bwtrigger && nhead == HEADi && ntail == TAILi && cnslen
+            && (seqlen + WSZ - 1) / WSZ * WSZ > par_bw) {
+        if (ksz <= 0) return -9;           // edit-band path stays in Python
+        cg_v.resize(seqlen + cnslen + 16);
+        i64 ers[10];
+        ncg = bsa_kmer_edit(qseq, seqlen, cns, cnslen, ksz, cg_v.data(),
+                            (long)cg_v.size(), ers);
+        if (ncg < 0) return -1;
+        qb = ers[0];
+        qe = ers[1];
+        slen = qe - qb;
+        const long rtb = ers[2], rte = ers[3];
+        tb = rtb >= bandwidth / 2 ? rtb - bandwidth / 4 : 0;
+        te = (cnslen - rte >= bandwidth / 2) ? rte + bandwidth / 4 : cnslen;
+        x = 0;
+        y = rtb;
+    } else if (bwtrigger && nhead == HEADi && ntail == TAILi) {
+        bandwidth = (seqlen + WSZ - 1) / WSZ * WSZ;
+    } else {
+        bandwidth = (seqlen + WSZ - 1) / WSZ * WSZ;
+    }
+    if (ncg > 0) {
+        // rmap + band placement (vectorized python twin, core.py:574-613)
+        thread_local std::vector<i64> rmap;
+        rmap.assign(reflen + 1, 0);
+        if (y > 1)
+            for (long i = 1; i < y; i++) rmap[i] = i * qb / (y + 1);
+        long xx = x, yy = y;
+        for (long i = 0; i < ncg; i++) {
+            const long op = cg_v[i] & 0xF;
+            const long sz = cg_v[i] >> 4;
+            const bool is_m = op == 0 || op == 7 || op == 8;
+            const bool is_d = op == 2 || op == 3 || op == 5;
+            if (is_m)
+                for (long k = 0; k < sz; k++) rmap[yy + k] = xx + k;
+            else if (is_d)
+                for (long k = 0; k < sz; k++) rmap[yy + k] = xx;
+            if (is_m || op == 1 || op == 4) xx += sz;
+            if (is_m || is_d) yy += sz;
+        }
+        if (reflen > yy)
+            for (long j = yy; j < reflen; j++)
+                rmap[j] = xx + (j - yy + 1) * (slen - xx)
+                          / (reflen - yy + 1);
+        rmap[reflen] = slen;
+        if (bandwidth >= slen) {
+            for (long k = 0; k < nsel; k++) nd_rpos[sels_v[k]] = 0;
+        } else {
+            for (long k = 0; k < nsel; k++) {
+                const long s = sels_v[k];
+                i64 v = rmap[nd_cpos[s]] - bandwidth / 2;
+                if (v < 0) v = 0;
+                if (v > slen - bandwidth) v = slen - bandwidth;
+                nd_rpos[s] = (i32)v;
+            }
+        }
+        // bridge the first selected node at the band ends to HEAD/TAIL
+        // (bspoa.h:1910-1940)
+        if (tb) {
+            for (long k = 0; k < nsel; k++) {
+                const long s = sels_v[k];
+                if (nd_cpos[s] != tb) continue;
+                const long r = g_chg_edge(G.E, nhead, s, 1);
+                if (estate[3]) return -2;
+                todels.push_back(nhead);
+                todels.push_back(s);
+                if ((r & 1) == 0 && states_v[nhead] && states_v[s])
+                    nd_nct[s] += 1;
+                break;
+            }
+        }
+        if (te != reflen) {
+            for (long k = 0; k < nsel; k++) {
+                const long s = sels_v[k];
+                if (nd_cpos[s] != te) continue;
+                const long r = g_chg_edge(G.E, s, ntail, 1);
+                if (estate[3]) return -2;
+                todels.push_back(nd_header[s]);
+                todels.push_back(ntail);
+                if ((r & 1) == 0 && states_v[ntail] && states_v[s])
+                    nd_nct[ntail] += 1;
+                break;
+            }
+        }
+    } else {
+        for (long k = 0; k < nsel; k++) nd_rpos[sels_v[k]] = 0;
+    }
+    // --- profiles, arena, init row (core.py:636-673) ---
+    const long mmcnt = 2 + nsel;
+    for (long k = 0; k < nsel; k++) nd_mmidx[sels_v[k]] = (i32)(2 + k);
+    const bool pw2 =
+        (Q_ < O_ && P_ > E_ && Q_ + P_ < O_ + E_
+         && (O_ - Q_) / (E_ - P_) < bandwidth);
+    const long piecewise = pw2 ? 2 : (O_ ? 1 : 0);
+    const long W = bandwidth / WSZ;
+    const long xlen = slen > bandwidth ? slen : bandwidth;
+    thread_local std::vector<i8> qp_v[4];
+    for (int k = 0; k < 4; k++) qp_v[k].resize((xlen + 1) * 4 * WSZ);
+    bsa_qprof4(qseq + qb, slen, bandwidth, M, X, refbonus, qp_v[0].data(),
+               qp_v[1].data(), qp_v[2].data(), qp_v[3].data());
+    thread_local std::vector<i8> aus_v, aes_v, aqs_v;
+    thread_local std::vector<i64> aub_v;
+    const size_t rowsz = (size_t)W * WSZ;
+    aus_v.assign(mmcnt * rowsz, 0);
+    i8 *aes = nullptr, *aqs = nullptr;
+    if (piecewise >= 1) {
+        aes_v.assign(mmcnt * rowsz, 0);
+        aes = aes_v.data();
+    }
+    if (piecewise == 2) {
+        aqs_v.assign(mmcnt * rowsz, 0);
+        aqs = aqs_v.data();
+    }
+    aub_v.assign(mmcnt * (WSZ + 1), 0);
+    const long slot = nd_mmidx[nhead];
+    row_init_c(alnmode, bandwidth, M + refbonus + 1, X, O_, E_, Q_, P_,
+               aus_v.data() + slot * rowsz,
+               aes ? aes + slot * rowsz : nullptr,
+               aqs ? aqs + slot * rowsz : nullptr,
+               aub_v.data() + slot * (WSZ + 1));
+    // --- row DP + graph merge ---
+    i64 best[3] = {SCORE_MIN_I, -1, -1};
+    stack_v.resize(nsel + 8);
+    if (bsa_align_rd_core(nd_mpos, nd_vst, nd_nct, nd_mmidx, nd_base,
+                          nd_bonus, nd_rpos, nd_edge, ed_node, ed_next,
+                          states_v.data(), sels_v.data(), nsel,
+                          aus_v.data(), aes, aqs, aub_v.data(),
+                          qp_v[0].data(), qp_v[1].data(), qp_v[2].data(),
+                          qp_v[3].data(), W, bandwidth, slen, piecewise,
+                          M + refbonus + 1, X, O_, E_, Q_, P_, T_,
+                          is_overlap, is_global, nhead, ntail, best,
+                          stack_v.data(), (long)stack_v.size()) < 0)
+        return -1;
+    if (bsa_alignment2graph(GFULL_FWD, nd_mpos, nd_rpos, nd_mmidx, nd_base,
+                            nd_bonus, nd_cpos, states_v.data(), ndoffs,
+                            aus_v.data(), aes, aqs, aub_v.data(),
+                            qp_v[0].data(), qp_v[1].data(), qp_v[2].data(),
+                            qp_v[3].data(), W, bandwidth, seqlen, qb,
+                            piecewise, O_, E_, Q_, P_, is_overlap, nhead,
+                            ntail, best[1], best[2], rid, rbeg,
+                            rs_out) < 0)
+        return -2;
+    rs_out[1] += qb;                       // rs.qb/qe are read-window
+    rs_out[2] += qb;                       // relative (core.py:1021-1022)
+    rs_out[0] = best[0];                   // rs.score = align_rd_core max
+    for (size_t k = 0; k + 1 < todels.size(); k += 2) {
+        g_chg_edge(G.E, todels[k], todels[k + 1], -1);
+        if (estate[3]) return -2;
+    }
+    return 0;
+}

@@ -331,6 +331,41 @@ def align_rd_core(g, sels_arr, states_map, arena, qprof_ptrs, W, bandwidth,
         raise RuntimeError("native align_rd_core failed")
 
 
+def align_rd_full(g, rdseq, cns, par, nseq, rid, rbeg, rend, realn):
+    """Whole-read POA alignment in one native call (sel_nodes + band
+    placement + row DP + alignment2graph + bridge reverts); returns the
+    filled AlnResult. The caller must pre-screen configs the C path does
+    not cover (refmode CIGAR placement, ksz==0 band trigger)."""
+    import numpy as _np
+    from ..poa.graph import (ND_BASE, ND_BLESS, ND_BONUS, ND_CPOS, ND_MMIDX,
+                             ND_MPOS, ND_NCT, ND_RPOS, ND_VST)
+    rlen = rend - rbeg
+    g._encap_edges(4 * len(g.nodes) + 24 * (rlen + 4) + 2048)
+    nd = g._nd
+    ndoffs = _np.asarray(g.ndoffs, _np.int64)
+    rs_out = _np.zeros(10, _np.int64)
+    qc = _np.ascontiguousarray(rdseq, _np.uint8)
+    tc = _np.ascontiguousarray(cns, _np.uint8)
+    r = rowops_lib().bsa_align_rd_full(
+        *gfull_args(g),
+        nd[ND_MPOS].ctypes.data, nd[ND_VST].ctypes.data,
+        nd[ND_NCT].ctypes.data, nd[ND_MMIDX].ctypes.data,
+        nd[ND_BASE].ctypes.data, nd[ND_BONUS].ctypes.data,
+        nd[ND_BLESS].ctypes.data, nd[ND_RPOS].ctypes.data,
+        nd[ND_CPOS].ctypes.data, ndoffs.ctypes.data, len(g.nodes),
+        g.HEAD, g.TAIL, qc.ctypes.data, tc.ctypes.data, len(tc),
+        par.alnmode, par.bandwidth, int(par.bwtrigger), par.ksz, par.nrec,
+        par.M, par.X, par.refbonus, par.O, par.E, par.Q, par.P, par.T,
+        nseq, rid, rbeg, rend, int(realn), rs_out.ctypes.data)
+    if r < 0:
+        raise RuntimeError(f"native align_rd_full failed ({r})")
+    from ..cigar import AlnResult
+    rs = AlnResult()
+    (rs.score, rs.qb, rs.qe, rs.tb, rs.te, rs.mat, rs.mis, rs.ins,
+     rs.dele, rs.aln) = (int(v) for v in rs_out)
+    return rs
+
+
 def pedit_traceback(g, matrix0, matrix1, seqs0, seqs1, mats0, mats1,
                     ndoffs_arr, mlen, mbeg, mend, HW, rowlen, rid,
                     nseq_plus1, qe):

@@ -996,6 +996,18 @@ class BSPOA:
     def align_rd(self, par: BSPOAPar, realn: int, rid: int, rbeg: int,
                  rlen: int) -> AlnResult:
         g = self.g
+        if (g._native is not None and rlen > 0
+                and not (par.refmode and self.cigars[rid])
+                and not (par.ksz == 0 and par.bwtrigger and len(self.cns)
+                         and roundup(rlen, WS) > par.bandwidth)):
+            # whole-read mega-call: sel + band placement + row DP + graph
+            # merge in one native call (the per-read Python glue was ~35%
+            # of the window latency); semantics identical to the staged
+            # path below, fuzz- and suite-verified against the reference
+            self.todels = []
+            return NR.align_rd_full(g, self.seqs[rid], self.cns, par,
+                                    self.nmsa, rid, rbeg, rbeg + rlen,
+                                    realn)
         if realn and rid:
             if g._native is not None:
                 NR.g_cut_range_asc(g, rid, rbeg, rbeg + rlen, 3)
