@@ -127,6 +127,13 @@ def rowops_lib():
             [ctypes.c_long] * 3 + [ctypes.c_void_p] * 2 + \
             [ctypes.c_long] * 19 + [ctypes.c_void_p]
         lib.bsa_align_rd_full.restype = ctypes.c_long
+        lib.bsa_end_begin_loop.argtypes = \
+            [ctypes.c_void_p] * 17 + [ctypes.c_void_p] * 10 + \
+            [ctypes.c_void_p] * 4 + [ctypes.c_long] * 19 + \
+            [ctypes.c_void_p, ctypes.c_long, ctypes.c_long,
+             ctypes.c_void_p, ctypes.c_long,
+             ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p]
+        lib.bsa_end_begin_loop.restype = ctypes.c_long
         lib.bsa8_getscore.argtypes = [c_i8p, c_i64p, ctypes.c_int,
                                       ctypes.c_int]
         lib.bsa8_getscore.restype = ctypes.c_int64

@@ -3835,3 +3835,94 @@ extern "C" long bsa_align_rd_full(
     }
     return 0;
 }
+
+// ---- native incremental-alignment loop of end_bspoa (bspoa.h:4745-4760;
+// python twin poa/core.py BSPOA.end_begin) ----
+// Per read rid in [rid_start, nmsa): when bwtrigger, recompute the running
+// MSA + majority consensus (sort_nodes -> msa_fill -> mask -> simple_cns,
+// all in-process), then run the per-read mega-call bsa_align_rd_full.
+// The per-read Python glue (two bindings + list(range(mlen)) + buffer
+// allocs + ~60-arg ctypes marshals) was a measurable slice of POA window
+// latency; this turns a whole window's incremental build into O(1) calls.
+// Capacity contract mirrors bsa_remsa_round: returns the first unprocessed
+// rid with out[2] = 0 (edge headroom low: caller encaps and resumes),
+// 1 (read needs the Python align path: ksz==0 band trigger), or
+// 2 (msacols/cns buffers too small for mlen: caller regrows and resumes);
+// returns nmsa when done (out[2] = 3). out[0]/out[1] carry the current
+// mlen/clen across resumes so the caller can reconstruct msa state.
+extern "C" long bsa_end_begin_loop(
+    GFULL_ARGS,
+    i32 *nd_mpos, i32 *nd_vst, i32 *nd_nct, i32 *nd_inuse,
+    i32 *nd_mmidx, const i32 *nd_base, i32 *nd_bonus, const i32 *nd_bless,
+    i32 *nd_rpos, i32 *nd_cpos,
+    const i64 *ndoffs, const i64 *rdlens,
+    const uint8_t *seqcat, const i64 *seqoffs,
+    long nnodes, long HEADi, long TAILi,
+    long alnmode, long par_bw, long bwtrigger, long ksz, long nrec,
+    long M, long X, long refbonus, long O_, long E_, long Q_, long P_,
+    long T_,
+    long nmsa, long nall, long rid_start,
+    uint8_t *msacols, long mrow, long msacols_cap,
+    uint8_t *cns_buf, long cns_cap,
+    i32 *stack_buf, long stack_cap,
+    i64 *out /*[mlen, clen, flag]*/) {
+    thread_local std::vector<i64> idx_v;
+    long mlen = out[0], clen = out[1];
+    for (long rid = rid_start; rid < nmsa; rid++) {
+        const long rlen = rdlens[rid];
+        // same per-call headroom the Python caller grants align_rd_full
+        if (estate[0] + 4 * nnodes + 24 * (rlen + 4) + 2048 >= estate[2]) {
+            out[0] = mlen; out[1] = clen; out[2] = 0;
+            return rid;
+        }
+        if (bwtrigger) {
+            mlen = bsa_sort_nodes(nd_mpos, nd_vst, nd_nct, nd_inuse,
+                                  nd_nin, nd_nou, nd_next, nd_edge,
+                                  nd_erev, ed_node, ed_next, nnodes, HEADi,
+                                  TAILi, stack_buf, stack_cap);
+            if (mlen < 0) return -1;
+            if (mlen * mrow > msacols_cap || mlen > cns_cap) {
+                out[0] = mlen; out[1] = clen; out[2] = 2;
+                return rid;
+            }
+            if ((long)idx_v.size() < mlen) {
+                long old = (long)idx_v.size();
+                idx_v.resize(mlen);
+                for (long i = old; i < mlen; i++) idx_v[i] = i;
+            }
+            memset(msacols, 4, (size_t)(mlen * mrow));
+            if (bsa_msa_fill(nd_mpos, nd_vst, nd_nct, nd_nin, nd_next,
+                             nd_edge, nd_erev, nd_rid, nd_base, ed_node,
+                             ed_next, nnodes, HEADi, TAILi, msacols,
+                             idx_v.data(), mlen, mrow, stack_buf,
+                             stack_cap) < 0)
+                return -2;
+            // msa() masks lead/tail gaps after the fill; nrds == rid here
+            bsa_mask_lead_tail(msacols, idx_v.data(), mlen, mrow, rid);
+            clen = bsa_simple_cns(msacols, idx_v.data(), mlen, mrow, rid,
+                                  nall, nd_cpos, ndoffs, cns_buf);
+            if (clen < 0) return -3;
+            long w = 0;                     // compact gap columns away
+            for (long p = 0; p < mlen; p++)
+                if (cns_buf[p] < 4) cns_buf[w++] = cns_buf[p];
+            nd_cpos[HEADi] = 0;
+            nd_cpos[TAILi] = (i32)clen;
+        }
+        i64 rs_tmp[10];
+        const long r = bsa_align_rd_full(
+            GFULL_FWD, nd_mpos, nd_vst, nd_nct, nd_mmidx, nd_base,
+            nd_bonus, nd_bless, nd_rpos, nd_cpos, ndoffs, nnodes, HEADi,
+            TAILi, seqcat + seqoffs[rid], cns_buf, clen, alnmode, par_bw,
+            bwtrigger, ksz, nrec, M, X, refbonus, O_, E_, Q_, P_, T_,
+            nmsa, rid, 0, rlen, 0, rs_tmp);
+        if (r == -9) {                      // config the C path skips
+            out[0] = mlen; out[1] = clen; out[2] = 1;
+            return rid;
+        }
+        if (r < 0) return -10 + r;
+    }
+    out[0] = mlen;
+    out[1] = clen;
+    out[2] = 3;
+    return nmsa;
+}

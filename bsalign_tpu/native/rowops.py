@@ -366,6 +366,35 @@ def align_rd_full(g, rdseq, cns, par, nseq, rid, rbeg, rend, realn):
     return rs
 
 
+def end_begin_loop(g, seqcat, seqoffs, rdlens, ndoffs_arr, par, nmsa, nall,
+                   rid_start, msacols_buf, mrow, cns_buf, stack_buf, out):
+    """Native incremental end_bspoa loop (msa + simple_cns + align per
+    read); returns the next unprocessed rid (== nmsa when done). See
+    bsa_end_begin_loop in rowops.cpp for the out[]/resume contract."""
+    from ..poa.graph import (ND_BASE, ND_BLESS, ND_BONUS, ND_CPOS, ND_INUSE,
+                             ND_MMIDX, ND_MPOS, ND_NCT, ND_RPOS, ND_VST)
+    nd = g._nd
+    r = rowops_lib().bsa_end_begin_loop(
+        *gfull_args(g),
+        nd[ND_MPOS].ctypes.data, nd[ND_VST].ctypes.data,
+        nd[ND_NCT].ctypes.data, nd[ND_INUSE].ctypes.data,
+        nd[ND_MMIDX].ctypes.data, nd[ND_BASE].ctypes.data,
+        nd[ND_BONUS].ctypes.data, nd[ND_BLESS].ctypes.data,
+        nd[ND_RPOS].ctypes.data, nd[ND_CPOS].ctypes.data,
+        ndoffs_arr.ctypes.data, rdlens.ctypes.data,
+        seqcat.ctypes.data, seqoffs.ctypes.data,
+        len(g.nodes), g.HEAD, g.TAIL,
+        par.alnmode, par.bandwidth, int(par.bwtrigger), par.ksz, par.nrec,
+        par.M, par.X, par.refbonus, par.O, par.E, par.Q, par.P, par.T,
+        nmsa, nall, rid_start,
+        msacols_buf.ctypes.data, mrow, len(msacols_buf),
+        cns_buf.ctypes.data, len(cns_buf),
+        stack_buf.ctypes.data, len(stack_buf), out.ctypes.data)
+    if r < 0:
+        raise RuntimeError(f"native end_begin loop failed ({r})")
+    return int(r)
+
+
 def pedit_traceback(g, matrix0, matrix1, seqs0, seqs1, mats0, mats1,
                     ndoffs_arr, mlen, mbeg, mend, HW, rowlen, rid,
                     nseq_plus1, qe):

@@ -2322,6 +2322,11 @@ class BSPOA:
         for rid in range(self.nseq):
             self._add_read_core(rid)
         self.nrds = 1
+        if (self.g._native is not None and not self.par.refmode
+                and self.nmsa > 1
+                and os.environ.get("BSA_POA_NATIVE_LOOP", "1") != "0"):
+            self._end_begin_native()
+            return True
         for rid in range(1, self.nmsa):
             if not self.par.refmode and self.par.bwtrigger:
                 self.msa()
@@ -2329,6 +2334,72 @@ class BSPOA:
             self.align_rd(self.par, 0, rid, 0, self.rdlen(rid))
             self.nrds += 1
         return True
+
+    def _end_begin_native(self):
+        """end_begin's incremental loop in one resumable native call
+        (bsa_end_begin_loop, rowops.cpp): per read, the running
+        msa/simple_cns recompute plus the align mega-call — replacing two
+        ctypes round-trips and the per-read msacols/msaidxs rebuild."""
+        g = self.g
+        par = self.par
+        nseq = self.nseq
+        rdlens = np.fromiter((self.rdlen(r) for r in range(nseq)), np.int64,
+                             nseq)
+        seqoffs = np.zeros(nseq + 1, np.int64)
+        np.cumsum(rdlens, out=seqoffs[1:])
+        seqcat = np.ascontiguousarray(
+            np.concatenate([np.asarray(self.seqs[r], np.uint8)
+                            for r in range(nseq)])
+            if int(seqoffs[-1]) else np.zeros(1, np.uint8))
+        ndoffs_arr = np.asarray(g.ndoffs, np.int64)
+        mrow = nseq + 3
+        # mlen is bounded by the longest graph path <= inserted bases + 2;
+        # start from the aligned total and regrow on the flag-2 signal
+        mcap = int(rdlens[:self.nmsa].sum()) + 64
+        msab = np.empty(mcap * mrow, np.uint8)
+        cnsb = np.empty(mcap, np.uint8)
+        stack_buf = np.empty(len(g.nodes) + 16, np.int32)
+        out = np.zeros(3, np.int64)
+        maxrlen = int(rdlens.max()) if nseq else 0
+        rid = 1
+        while rid < self.nmsa:
+            # headroom for at least one read: the C loop checks the same
+            # bound per read and returns early instead of reallocating
+            g._encap_edges(4 * len(g.nodes) + 24 * (maxrlen + 4) + 4096)
+            r = NR.end_begin_loop(g, seqcat, seqoffs, rdlens, ndoffs_arr,
+                                  par, self.nmsa, nseq, rid, msab, mrow,
+                                  cnsb, stack_buf, out)
+            self.nrds = min(r, self.nmsa)
+            if r >= self.nmsa:
+                break
+            flag = int(out[2])
+            if flag == 2:                   # msa buffers too small
+                need = (int(out[0]) + 16) * mrow
+                msab = np.empty(max(need, 2 * len(msab)), np.uint8)
+                cnsb = np.empty(max(int(out[0]) + 16, 2 * len(cnsb)),
+                                np.uint8)
+                rid = r
+                continue
+            if flag == 1:                   # read r needs the Python path
+                if par.bwtrigger:
+                    self._msa_state_from_native(out, msab, cnsb, mrow)
+                self.align_rd(par, 0, r, 0, int(rdlens[r]))
+                self.nrds = r + 1
+                rid = r + 1
+                continue
+            rid = r                         # flag 0: edge headroom, retry
+        if par.bwtrigger:
+            self._msa_state_from_native(out, msab, cnsb, mrow)
+
+    def _msa_state_from_native(self, out, msab, cnsb, mrow):
+        """Rebuild msaidxs/msacols/cns/qlt/alt exactly as the last
+        msa()+simple_cns() pair of the Python loop would leave them."""
+        mlen, clen = int(out[0]), int(out[1])
+        self.msaidxs = list(range(mlen))
+        self.msacols = msab[:mlen * mrow].reshape(mlen, mrow).copy()
+        self.cns = cnsb[:clen].copy()
+        self.qlt = np.zeros(clen, np.uint8)
+        self.alt = np.zeros(clen, np.uint8)
 
     def end_realn_round(self, i: int, dev_exec=None) -> None:
         """One realignment round of end_bspoa (bspoa.h:4762-4772)."""
