@@ -3515,7 +3515,17 @@ extern "C" long bsa_remsa_round(
         const long mbeg = nd_mpos[base_idx + qb];
         const long mend = nd_mpos[base_idx + qe - 1] + 1;
         memset(seqs0, 4, pad);
-        memset(mats0, 0, 4 * pad);
+        // the reference clears 4*(mlen+bw) bytes over count planes spaced
+        // roundup16(mlen+bw) apart (bspoa.h:4348): when pad % 16 != 0 the
+        // T-plane tail keeps the previous read's homopolymer counts and
+        // the DP reads them — replicate the carry-over byte-for-byte
+        {
+            const long pad16 = (pad + 15) & ~15L;
+            long clr = 4 * pad - 3 * pad16;
+            if (clr < 0) clr = 0;
+            if (clr > pad) clr = pad;
+            memset(mats0, 0, 3 * pad + clr);
+        }
         long lc = 4, cc = 0;
         {
             const long r = bsa_g_cut_range(

@@ -88,6 +88,19 @@ class BSPOAPar:
     min_snvqlt: int = 5
 
 
+def _remsa_stale_start(pad: int) -> int:
+    """First T-plane index the reference's per-read scratch clear misses.
+
+    remsa_pedits_bspoa clears 4*(mlen+bw) bytes over four count planes
+    spaced roundup16(mlen+bw) apart (bspoa.h:4348), so when mlen+bw is not
+    a multiple of 16 the last 3*(roundup16-pad) entries of the 4th (T)
+    plane keep the previous read's homopolymer counts. The DP reads those
+    counts, so byte-exact output requires carrying them over identically.
+    """
+    pad16 = roundup(pad, WS)
+    return max(0, min(pad, 4 * pad - 3 * pad16))
+
+
 def gen_dptable(par: BSPOAPar):
     """Event table: (cur cns, cur read, last cns base, last state) -> event
     (bspoa.h:142-204). `1 - psub` is float32 arithmetic in C (int promotes
@@ -1795,6 +1808,8 @@ class BSPOA:
         bandwidth = ctx["bandwidth"]
         dev_jobs = []
         dev_spec = []
+        stale0 = _remsa_stale_start(pad)
+        carry3 = np.zeros(pad - stale0, np.uint8)
         for rid in range(self.nseq):
             rdlen = self.rdlen(rid)
             if rdlen == 0:
@@ -1807,7 +1822,12 @@ class BSPOA:
                 qb, qe = 0, rdlen
             s0 = np.full(pad, 4, np.uint8)
             m0 = np.zeros((4, pad), np.uint8)
+            # roll the reference's uncleared T-plane tail (bspoa.h:4348)
+            # through the per-read jobs so each job's counts match the
+            # host loop byte-for-byte (see _remsa_stale_start)
+            m0[3, stale0:] = carry3
             self._remsa_fill_read(rid, qb, qe, s0, m0, HW)
+            carry3 = m0[3, stale0:].copy()
             mbeg = g.nodes[g.rdnode(rid, qb)].mpos
             mend = g.nodes[g.rdnode(rid, qe - 1)].mpos + 1
             dev_jobs.append(PeditJob(s0, seqs1, m0, mats1, mlen, mbeg,
@@ -1859,12 +1879,18 @@ class BSPOA:
                     g._nd[ND_MPOS], g._nd[ND_BASE])
                 start = r
             rid_start = ncore
+        stale0 = _remsa_stale_start(pad)
         for rid in range(rid_start, self.nseq):
             rdlen = self.rdlen(rid)
             if rdlen == 0:
                 continue
             seqs0[:] = 4
-            mats0[:, :] = 0
+            # the reference's per-read clear covers 4*(mlen+bw) bytes over
+            # count planes spaced roundup16(mlen+bw) apart (bspoa.h:4348),
+            # so the T-plane tail keeps the previous read's homopolymer
+            # counts; byte-exact parity requires the same carry-over
+            mats0[:3, :] = 0
+            mats0[3, :stale0] = 0
             if rid >= nseq:
                 if not all_:
                     break
