@@ -313,6 +313,21 @@ class BSPOA:
         mincnt = 1 if self.par.refmode else max(2, int(nseq * 0.05))
 
         def read_kmers(seq):
+            if ksize == 0:
+                # reference quirk (bspoa.h:1016-1034): ksz=0 makes
+                # `MAX_U4 >> ((16-ksz)<<1)` a shift by 32, which x86
+                # masks to a shift by 0 — kmask = all ones — and the
+                # `i + 1 < ksize` skip never fires, so ksz=0 behaves as
+                # a rolling 16-mer that also emits the 15 ramp-up
+                # prefixes. Leading-zero padding reproduces the ramp-up
+                # exactly (absent bases contribute 0, same as base A).
+                if len(seq) == 0:
+                    return np.zeros(0, np.int64)
+                padded = np.zeros(len(seq) + 15, np.int64)
+                padded[15:] = np.asarray(seq, np.int64)
+                win = np.lib.stride_tricks.sliding_window_view(padded, 16)
+                wf = (4 ** np.arange(15, -1, -1)).astype(np.int64)
+                return win @ wf
             m = len(seq) - ksize + 1
             if m <= 0:
                 return np.zeros(0, np.int64)
@@ -2549,12 +2564,15 @@ class BSPOA:
                 if bt == 0:
                     if seqs0[HW + x] < 4:
                         roff -= 1
-                        # bspoa.h:4513 indexes rails without the +1 used by
-                        # remsa_pedits (bspoa.h:4016); that path is
-                        # unreachable from the reference CLI (the -G regex
-                        # rejects negative editbw) and corrupts the graph, so
-                        # we use the evidently intended rail row
-                        u = g.rdnode(self.nseq + 1 + int(seqs0[HW + x]), y)
+                        # bspoa.h:4514 indexes rails WITHOUT the +1 used by
+                        # remsa_pedits (bspoa.h:4016): base A merges into
+                        # the cns-read chain and base b into rail b-1. This
+                        # IS reachable from the reference CLI — the POSIX
+                        # ERE `([.0-9]+?)` parses as an OPTIONAL group, so
+                        # "editbw=-64" matches with an empty value and
+                        # atoi(main.c:462) then reads "-64" past the match.
+                        # Byte parity requires replicating the off-by-one.
+                        u = g.rdnode(self.nseq + int(seqs0[HW + x]), y)
                         v = g.rdnode(rid, roff)
                         g.merge_nodes(u, v)
                     x -= 1

@@ -157,19 +157,21 @@ def main():
     for it in range(a.iters):
         sub, args, fa = sample_case(rng, it, a.sub)
         label = f"[{it}] {sub} {' '.join(args)}"
+        r = subprocess.run([REF_BIN, sub] + args + [fa],
+                           capture_output=True, text=True)
+        if r.returncode != 0:
+            # the reference itself rejects or aborts on this config (e.g.
+            # editbw<0 outside refmode corrupts its graph and trips the
+            # check_unvisited abort) — nothing to be byte-exact against
+            print(f"SKIP {label}: reference rejected (rc={r.returncode})")
+            os.unlink(fa)
+            continue
         try:
             ours = run_ours(sub, args, fa)
         except Exception as exc:  # crash = failure too
             print(f"FAIL {label}: ours raised {type(exc).__name__}: {exc}")
             shutil.copy(fa, f"/tmp/fuzzp_fail_{it}.fa")
             fails += 1
-            continue
-        r = subprocess.run([REF_BIN, sub] + args + [fa],
-                           capture_output=True, text=True)
-        if r.returncode != 0:
-            print(f"SKIP {label}: reference rejected "
-                  f"(rc={r.returncode})")
-            os.unlink(fa)
             continue
         if ours != r.stdout:
             ol, rl = ours.splitlines(), r.stdout.splitlines()
