@@ -189,20 +189,22 @@ def main():
         return 1
     cmd = sys.argv[1].lower()
     argv = sys.argv[2:]
-    if cmd == "align":
-        rc = main_align(argv)
-        if metrics.verbose():
-            metrics.report()
-        return rc
-    if cmd == "edit":
-        rc = main_edit(argv)
-        if metrics.verbose():
-            metrics.report()
-        return rc
-    if cmd == "poa":
-        return main_poa(argv)
-    if cmd == "cat":
-        return main_cat(argv)
+    # BSA_PROFILE_DIR=<dir> captures a jax profiler trace of the whole run
+    with metrics.profile_trace():
+        if cmd == "align":
+            rc = main_align(argv)
+            if metrics.verbose():
+                metrics.report()
+            return rc
+        if cmd == "edit":
+            rc = main_edit(argv)
+            if metrics.verbose():
+                metrics.report()
+            return rc
+        if cmd == "poa":
+            return main_poa(argv)
+        if cmd == "cat":
+            return main_cat(argv)
     sys.stderr.write(f" -- Unknown command '{cmd}' --\n")
     return 1
 

@@ -59,6 +59,22 @@ def timed(kernel: str, cells: float):
         c.calls += 1
 
 
+@contextmanager
+def profile_trace():
+    """jax profiler trace of the wrapped region when BSA_PROFILE_DIR is
+    set — writes a TensorBoard/Perfetto trace (device kernel timeline +
+    host activity); no-op otherwise. The device-side complement of the
+    cells/s counters (SURVEY §5 tracing)."""
+    d = os.environ.get("BSA_PROFILE_DIR")
+    if not d:
+        yield
+        return
+    import jax
+    log(1, f"writing jax profiler trace to {d}")
+    with jax.profiler.trace(d):
+        yield
+
+
 def add(kernel: str, cells: float, seconds: float) -> None:
     c = _COUNTERS[kernel]
     c.cells += cells
