@@ -17,7 +17,7 @@ import numpy as np
 
 from . import cigar as C
 from . import seqs as S
-from .constants import MODE_NAMES, roundup
+from .constants import parse_mode_list, MODE_NAMES, roundup
 from .oracle import banded8 as B8
 
 USE_DEVICE = True  # flip off to run the scalar oracle engines (debug)
@@ -73,7 +73,11 @@ def main_align(argv):
     ap.add_argument("inputs", nargs="+")
     args = ap.parse_args(argv)
     metrics.set_verbose(args.v)
-    mode = MODE_NAMES[args.m.lower()]
+    mname = parse_mode_list(args.m)
+    if mname is None:
+        sys.stderr.write("bad -m mode list\n")
+        return 1
+    mode = MODE_NAMES[mname]
     mtx = B8.set_score_matrix(args.M, -args.X)
     gaps = (-args.O, -args.E, -args.Q, -args.P)
     pairs = _read_pairs(args.inputs)
@@ -130,7 +134,11 @@ def main_edit(argv):
                     help="multi-host data parallel (jax.distributed)")
     ap.add_argument("inputs", nargs="+")
     args = ap.parse_args(argv)
-    mode_name = args.m.lower()
+    mode_name = parse_mode_list(args.m, ("global", "overlap", "extend",
+                                         "kmer"))
+    if mode_name is None:
+        sys.stderr.write("bad -m mode list\n")
+        return 1
     W = args.W
     if mode_name == "overlap" and W:
         sys.stderr.write(" ** disable band in bsalign-edit's overlap mode ** \n")

@@ -26,6 +26,24 @@ MODE_NAMES = {
     "kmer": MODE_KMER,
 }
 
+
+def parse_mode_list(s, allowed=("global", "overlap", "extend")):
+    """The reference CLIs' -m parsing (main.c:140-153 and twins): a
+    comma-separated list where each token is matched case-insensitively,
+    the LAST valid token wins, a trailing comma is ignored, and any
+    unknown (or empty non-final) token is a usage error. Returns the
+    winning mode name, or None on a usage error."""
+    toks = s.split(",")
+    if len(toks) > 1 and toks[-1] == "":
+        toks = toks[:-1]
+    mode = None
+    for tok in toks:
+        key = tok.lower()
+        if key not in allowed:
+            return None
+        mode = key
+    return mode
+
 # Backtrace codes (bsalign.h:40-54)
 BT_M = 0
 BT_I = 1

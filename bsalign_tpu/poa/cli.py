@@ -6,7 +6,7 @@ import re
 import sys
 
 from .. import seqs as S
-from ..constants import MODE_NAMES
+from ..constants import MODE_NAMES, parse_mode_list
 from .core import BSPOA, BSPOAPar
 
 
@@ -72,7 +72,11 @@ def run_poa(argv):
     args = ap.parse_args(argv)
     par = default_poa_par()
     if args.m:
-        par.alnmode = MODE_NAMES[args.m.lower()]
+        mname = parse_mode_list(args.m)
+        if mname is None:
+            sys.stderr.write("bad -m mode list\n")
+            return 1
+        par.alnmode = MODE_NAMES[mname]
     if args.W is not None:
         par.bandwidth = args.W
     for attr, val, neg in (("M", args.M, 1), ("X", args.X, -1),
