@@ -82,25 +82,54 @@ def sample_scores(rng, small=False):
     return args
 
 
+def _mode_arg(rng, modes):
+    """Sometimes a comma list (the reference keeps the LAST valid one)."""
+    m = str(rng.choice(modes))
+    if rng.random() < 0.15:
+        return str(rng.choice(modes)) + "," + m
+    return m
+
+
 def sample_case(rng, it, force_sub=None):
     sub = force_sub or rng.choice(["poa", "poa", "poa", "edit", "edit",
-                                   "align"])
+                                   "align", "cat"])
     fa = f"/tmp/fuzzp_{it}.fa"
     if sub == "align":
-        mode = str(rng.choice(["global", "overlap", "extend"]))
+        mode = _mode_arg(rng, ["global", "overlap", "extend"])
         W = int(rng.choice([16, 32, 64, 128]))
         args = ["-m", mode, "-W", str(W)] + sample_scores(rng)
+        if rng.random() < 0.2:
+            args += ["-L", "1"]
         gen_pairs_fa(fa, rng, int(rng.integers(2, 5)), 40, 400,
                      float(rng.uniform(0.05, 0.3)))
     elif sub == "edit":
-        mode = str(rng.choice(["global", "overlap", "extend", "kmer"]))
+        mode = _mode_arg(rng, ["global", "overlap", "extend", "kmer"])
         args = ["-m", mode]
-        if mode == "kmer":
+        if mode.split(",")[-1] == "kmer":
             args += ["-k", str(int(rng.integers(9, 16)))]
         else:
             args += ["-W", str(int(rng.choice([0, 16, 64, 128, 256])))]
         gen_pairs_fa(fa, rng, int(rng.integers(2, 6)), 40, 500,
                      float(rng.uniform(0.05, 0.3)))
+    elif sub == "cat":
+        args = ["-W", str(int(rng.choice([256, 512, 1024])))]
+        # cat takes signed scores directly (main.c main_cat: plain atoi)
+        args += ["-M", str(int(rng.integers(1, 4))),
+                 "-X", str(-int(rng.integers(2, 8))),
+                 "-O", str(-int(rng.integers(0, 5))),
+                 "-E", str(-int(rng.integers(1, 4)))]
+        L = int(rng.integers(300, 700))
+        ov = int(rng.integers(60, 200))
+        ref = rng.integers(0, 4, L)
+        n = int(rng.integers(2, 5))
+        step = max(1, (L - ov) // n)
+        with open(fa, "w") as f:
+            for i in range(n):
+                b = min(i * step, max(0, L - ov - 1))
+                e = min(L, b + step + ov)
+                piece = mutate(rng, ref[b:e], 0.03)
+                f.write(f">c{i}\n" + "".join(BASES[c] for c in piece)
+                        + "\n")
     else:
         args = sample_scores(rng)
         if rng.random() < 0.5:
@@ -132,6 +161,7 @@ def sample_case(rng, it, force_sub=None):
 
 def run_ours(sub, args, fa):
     from bsalign_tpu import cli as C
+    from bsalign_tpu.poa import cat as CC
     from bsalign_tpu.poa import cli as PC
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
@@ -139,6 +169,8 @@ def run_ours(sub, args, fa):
             C.main_align(args + [fa])
         elif sub == "edit":
             C.main_edit(args + [fa])
+        elif sub == "cat":
+            CC.run_cat(args + [fa])
         else:
             PC.run_poa(args + [fa])
     return buf.getvalue()
@@ -149,7 +181,7 @@ def main():
     ap.add_argument("--iters", type=int, default=50)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--sub", default=None,
-                    choices=[None, "poa", "align", "edit"])
+                    choices=[None, "poa", "align", "edit", "cat"])
     a = ap.parse_args()
     rng = np.random.default_rng(a.seed)
     fails = 0
