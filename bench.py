@@ -32,7 +32,11 @@ REF_SRC = "/root/reference"
 REF_BUILD = "/root/build/reference"
 REF_BIN = os.path.join(REF_BUILD, "bsalign")
 
-B, L, BW, QUEUE = 256, 2000, 128, 10
+# headline config; env overrides let CI smoke the full bench path on CPU
+B = int(os.environ.get("BSA_BENCH_B", 256))
+L = int(os.environ.get("BSA_BENCH_L", 2000))
+BW = int(os.environ.get("BSA_BENCH_W", 128))
+QUEUE = int(os.environ.get("BSA_BENCH_QUEUE", 10))
 
 
 def gen_pairs(n, length, err=0.10, seed=0):
@@ -79,7 +83,16 @@ def bench_kernel(qs, ts, codes=False, scores_only=False, defer=None):
         kw["defer"] = defer
     fwd = eng.make_forward(T, BW // 16, 0, 1, -3, -2, 0, 0, 2, -6, **kw)
     if not hasattr(fwd, "prepare"):
-        return None
+        # XLA scan engine: direct call with the same operand pytree
+        dev = jax.device_put(args)
+        outs = fwd(*dev)
+        jax.block_until_ready(outs)
+        t0 = time.time()
+        for _ in range(QUEUE):
+            outs = fwd(*dev)
+        jax.block_until_ready(outs)
+        dt = (time.time() - t0) / QUEUE
+        return float(np.sum(tlens)) * BW / dt
     call, ops, _meta = fwd.prepare(*args)
     dev = [jax.device_put(a) for a in ops]
     outs = call(*dev)
@@ -112,6 +125,7 @@ def bench_edit_kernel(qs, ts, n=256):
     import jax
     from bsalign_tpu.align import editdist as ED
     from bsalign_tpu.constants import roundup
+    n = min(n, len(qs))
     sub_q, sub_t = qs[:n], ts[:n]
     qlens = np.array([len(q) for q in sub_q], np.int32)
     tlens = np.array([len(t) for t in sub_t], np.int32)
@@ -162,10 +176,13 @@ def bench_pedit():
     import jax.numpy as jnp
     from bsalign_tpu.ops.pedit_pallas import _get_call
     rng = np.random.default_rng(1)
-    mlen, bw, R, Rs = 900, 64, 256, 64
+    mlen = int(os.environ.get("BSA_BENCH_PEDIT_MLEN", 900))
+    R = int(os.environ.get("BSA_BENCH_PEDIT_R", 256))
+    bw, Rs = 64, 64
     nsteps = 2 * mlen - 1
     NT = -(-(nsteps + 1) // Rs)
-    call = _get_call(bw, bw // 2, R, Rs, NT, False)
+    call = _get_call(bw, bw // 2, R, Rs, NT,
+                     jax.default_backend() == "cpu")
     init = jnp.asarray(rng.integers(0, 5, (10, R, 128)).astype(np.uint8))
     feed = jnp.asarray(
         rng.integers(0, 5, (NT, 10, R, Rs // 2 + 1)).astype(np.uint8))
@@ -209,8 +226,14 @@ def bench_poa_windows():
     rates = {}
     # Host C path and device-lockstep path; the right mode depends on the
     # host<->device link (lockstep wins on real PCIe, loses through a slow
-    # dev tunnel), so measure both and headline the better one.
-    for name, device in (("host", False), ("device", True)):
+    # dev tunnel), so measure both and headline the better one. Skip the
+    # device mode on CPU backends — interpret-mode Pallas is not a
+    # meaningful measurement.
+    import jax
+    modes = [("host", False)]
+    if jax.default_backend() != "cpu":
+        modes.append(("device", True))
+    for name, device in modes:
         try:
             run_windows(wins[:1], BSPOAPar(), device=device)
             t0 = time.time()
@@ -259,17 +282,23 @@ def main():
         # the headline still reports a real number
         extras["kernel_defer_fallback"] = str(e)[:120]
         os.environ["BSA_K8_DEFER"] = "0"
-        kernel_cells = bench_kernel(qs, ts, defer=False)
+        try:
+            kernel_cells = bench_kernel(qs, ts, defer=False)
+        except Exception as e2:
+            # last resort: the XLA scan engine (slower but always lowers)
+            extras["kernel_exact_fallback"] = str(e2)[:120]
+            os.environ["BSA_FORWARD_ENGINE"] = "jax"
+            kernel_cells = bench_kernel(qs, ts)
     ref_1t = bench_reference(qs, ts)
     try:
         extras["e2e_pairs_per_s_2kb_W128_B32"] = round(
-            bench_e2e(qs, ts, 32), 2)
+            bench_e2e(qs, ts, min(32, len(qs))), 2)
     except Exception as e:  # keep the headline robust
         extras["e2e_error"] = str(e)[:120]
         try:  # retry without packed-code emission (planes fallback)
             os.environ["BSA_BT_CODES"] = "0"
             extras["e2e_pairs_per_s_2kb_W128_B32"] = round(
-                bench_e2e(qs, ts, 32), 2)
+                bench_e2e(qs, ts, min(32, len(qs))), 2)
             extras["e2e_codes_fallback"] = True
         except Exception:
             pass
@@ -300,7 +329,12 @@ def main():
         extras["poa_windows_mode"] = best
     except Exception as e:
         extras["poa_error"] = str(e)[:120]
-    if ref_1t:
+    if kernel_cells is None:
+        # non-Pallas engine selected (e.g. CPU smoke without
+        # BSA_FORWARD_ENGINE=pallas): report honestly instead of crashing
+        extras["kernel_note"] = "pallas engine unavailable on this backend"
+        kernel_cells = 0.0
+    if ref_1t and kernel_cells:
         extras["ref_1thread_sse_cells_per_s"] = round(ref_1t, 1)
         extras["vs_ref_1thread"] = round(kernel_cells / ref_1t, 2)
     # honest target baseline: 32-thread AVX2 estimate = 1-thread SSE x2 x32
@@ -309,7 +343,7 @@ def main():
         "vs_baseline is vs estimated 32-thread AVX2 (1-thread SSE4.2 "
         "measured x2 lane width x32 threads); e2e on this host is "
         "bottlenecked by a ~12MB/s dev tunnel, not device time")
-    vs = (kernel_cells / baseline) if baseline else -1.0
+    vs = (kernel_cells / baseline) if (baseline and kernel_cells) else -1.0
     print(json.dumps({
         "metric": "dp_cell_updates_per_s_per_chip_banded8",
         "value": round(kernel_cells, 1),
