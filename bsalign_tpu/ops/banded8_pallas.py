@@ -599,7 +599,9 @@ def _get_call(T, W, mode, piecewise, gapo1, gape1, gapo2, gape2, nt_max,
             acc = acc + jnp.concatenate(
                 [jnp.zeros((sh, WS, BL), I32), acc[:-sh]], axis=0)
             sh *= 2
-        return acc + ub[None, :WS]
+        # NB: `ub[None, :WS]` (None mixed with a slice) lowers via gather,
+        # which Mosaic rejects on real TPUs — slice first, then expand.
+        return acc + ub[:WS][None]
 
     def calc_codes(us0, es0, ub0, us1, es1, ub1, qp, rh_move, inner,
                    mov_eff, rbeg_n, qlen_v):
