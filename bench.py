@@ -234,6 +234,11 @@ def bench_poa_windows():
     if jax.default_backend() != "cpu":
         modes.append(("device", True))
     for name, device in modes:
+        # host mode must measure the host-native remsa path even if the
+        # environment opted in to the device default (BSA_PEDIT_DEVICE=1)
+        saved = os.environ.get("BSA_PEDIT_DEVICE")
+        if not device:
+            os.environ["BSA_PEDIT_DEVICE"] = "0"
         try:
             run_windows(wins[:1], BSPOAPar(), device=device)
             t0 = time.time()
@@ -243,6 +248,11 @@ def bench_poa_windows():
             if name == "device":
                 continue
             raise
+        finally:
+            if saved is None:
+                os.environ.pop("BSA_PEDIT_DEVICE", None)
+            else:
+                os.environ["BSA_PEDIT_DEVICE"] = saved
     return rates
 
 

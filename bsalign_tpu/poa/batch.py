@@ -112,9 +112,10 @@ def run_windows(windows: Sequence[Sequence], par: Optional[BSPOAPar] = None,
                 device: Optional[bool] = None) -> List[WindowResult]:
     """POA every window (a list of reads, str or 0-3 code arrays).
 
-    device=True (default on TPU backends with >1 window, overridable via
-    BSA_PEDIT_DEVICE) batches each realignment round's profile DP across
-    all windows into one device call; nproc > 1 forks worker processes;
+    device=True (opt-in, default host; BSA_PEDIT_DEVICE=1 flips the
+    default when >1 window) batches each realignment round's profile DP
+    across all windows into one device call — wins on a fast host<->device
+    link, loses through a slow tunnel; nproc > 1 forks worker processes;
     0/1 runs inline. Results keep window order either way.
     """
     from .core import pedit_device_default

@@ -31,24 +31,16 @@ from .graph import Graph
 
 WS = WORDSIZE
 
-_PEDIT_DEV_DEFAULT = None
-
-
 def pedit_device_default() -> bool:
-    """remsa pedit runs on the TPU by default (BSA_PEDIT_DEVICE=0 forces
-    host, =1 forces device). Decided once per process — importing jax just
-    to read the backend is done lazily so pure-host POA use stays light."""
-    global _PEDIT_DEV_DEFAULT
+    """Whether remsa profile DP should run on the device by default.
+
+    Shipped default is HOST (the native C engine): per-window device calls
+    pay a host<->device round-trip per realignment round, which only wins
+    when many windows run lockstep over a fast link. BSA_PEDIT_DEVICE=1
+    opts in to the device path (pedit_pallas); the lockstep multi-window
+    driver passes dev_exec explicitly and is unaffected by this default."""
     env = os.environ.get("BSA_PEDIT_DEVICE")
-    if env is not None and env != "":
-        return env != "0"
-    if _PEDIT_DEV_DEFAULT is None:
-        try:
-            import jax
-            _PEDIT_DEV_DEFAULT = jax.default_backend() == "tpu"
-        except Exception:
-            _PEDIT_DEV_DEFAULT = False
-    return _PEDIT_DEV_DEFAULT
+    return env not in (None, "", "0")
 MIN_LOGVAL = -1000000000.0
 QLT_MAX = 90
 MAX_U4 = 0xFFFFFFFF

@@ -6,11 +6,6 @@ import sys
 # exercised without TPU hardware; bench/CLI use the real chip instead.
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
-# POA remsa defaults to the device path on TPU backends; tests pin the host
-# path for speed (the axon dev tunnel makes per-window device calls slow) —
-# the device path is exercised explicitly by test_pedit_pallas.py
-os.environ.setdefault("BSA_PEDIT_DEVICE", "0")
-
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import pytest  # noqa: E402

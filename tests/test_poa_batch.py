@@ -34,3 +34,44 @@ def test_run_windows_inline_matches_forked():
         assert np.array_equal(a.qlt, b.qlt)
         assert a.snvs == b.snvs
         assert len(a.cns) > 100
+
+
+def test_shipped_default_is_host_and_matches_device_selection():
+    """The driver-scored default: run_windows with device=None must take the
+    host-native remsa path unless BSA_PEDIT_DEVICE=1 opts in (the round-3
+    regression shipped device-by-default on TPU backends; VERDICT item 1)."""
+    import os
+
+    from bsalign_tpu.poa.core import pedit_device_default
+
+    saved = os.environ.pop("BSA_PEDIT_DEVICE", None)
+    try:
+        assert pedit_device_default() is False
+        os.environ["BSA_PEDIT_DEVICE"] = "1"
+        assert pedit_device_default() is True
+        os.environ["BSA_PEDIT_DEVICE"] = "0"
+        assert pedit_device_default() is False
+    finally:
+        if saved is None:
+            os.environ.pop("BSA_PEDIT_DEVICE", None)
+        else:
+            os.environ["BSA_PEDIT_DEVICE"] = saved
+
+
+def test_run_windows_shipped_default_end_to_end():
+    """run_windows with NO device/env override (the exact shipped default)
+    produces the same results as the explicit host path."""
+    import os
+
+    saved = os.environ.pop("BSA_PEDIT_DEVICE", None)
+    try:
+        wins = [_win(s) for s in range(2)]
+        par = default_poa_par()
+        default = run_windows(wins, par)
+        host = run_windows(wins, par, device=False)
+        for a, b in zip(default, host):
+            assert np.array_equal(a.cns, b.cns)
+            assert a.snvs == b.snvs
+    finally:
+        if saved is not None:
+            os.environ["BSA_PEDIT_DEVICE"] = saved
