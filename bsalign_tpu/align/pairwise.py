@@ -133,6 +133,34 @@ def _engine():
             else banded8_jax)
 
 
+def _engine_for_band(W: int, qp: int = 0):
+    """Engine for a band of W stripes (band = W*16) over padded queries of
+    length qp: the Pallas kernel when it fits VMEM, else the XLA scan
+    engine.
+
+    Wide bands and long queries cannot fit the 16 MB scoped VMEM on a
+    real chip (probed on v5e — see banded8_pallas.fits_hw_vmem), so such
+    configs fall back to the XLA engine instead of failing Mosaic
+    compilation: the reference runs any -W (main.c:268-281) and its paper
+    benchmarks bands up to 1024 (example/ScriptsForPaper.txt:17-22). An
+    explicit BSA_FORWARD_ENGINE=pallas override is respected (and will
+    raise BandTooWideError / OOM past the hardware limit)."""
+    import os
+
+    import jax
+
+    eng = _engine()
+    if (getattr(eng, "__name__", "").endswith("banded8_pallas")
+            and os.environ.get("BSA_FORWARD_ENGINE") != "pallas"):
+        # W=1 (band 16) makes zero-size [W-1, ...] slices in the kernel's
+        # stripe shifts; the scan engine covers that corner too
+        hw = jax.default_backend() != "cpu"   # interpret mode: no VMEM cap
+        if W < 2 or (hw and not eng.fits_hw_vmem(W, qp)):
+            from ..ops import banded8_jax
+            return banded8_jax
+    return eng
+
+
 def align_batch(qseqs: Sequence[np.ndarray], tseqs: Sequence[np.ndarray],
                 mode: int, bandwidth: int, mtx: np.ndarray, gapo1: int,
                 gape1: int, gapo2: int, gape2: int,
@@ -178,7 +206,7 @@ def _launch_batch(qseqs, tseqs, mode, bandwidth, mtx, gapo1, gape1, gapo2,
     qpad, qlens, tpad, tlens, rby, T = _pack_batch(qseqs, tseqs, bandwidth)
     us0, es0, qs0, ub0, _ = _init_state(mode, bandwidth, piecewise, smax,
                                         smin, gapo1, gape1, gapo2, gape2, B)
-    eng = _engine()
+    eng = _engine_for_band(W, qpad.shape[1])
     import os
     # Packed 4-bit traceback codes (align/btcodes.py): the kernel emits 0.5
     # bytes/cell instead of ~2.5 (u/e planes + anchors) — a ~5x cut in

@@ -35,7 +35,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..constants import (MODE_GLOBAL, MODE_OVERLAP, SCORE_EPI8_MAX,
-                         SCORE_EPI8_MIN, SCORE_MIN, WORDSIZE, mode_type)
+                         SCORE_EPI8_MIN, SCORE_MIN, WORDSIZE, mode_type,
+                         roundup)
 from .banded8_jax import ForwardResult, RowPlanes
 
 WS = WORDSIZE          # 16 lanes per stripe (sublane axis in-kernel)
@@ -44,6 +45,36 @@ MIN8 = SCORE_EPI8_MIN  # band-edge fill
 C_CHUNK = 256          # query code chunk length (refresh granularity)
 SLANES = 32            # striped window lanes (WS+1 needed + slack)
 UBR = WS + 8           # ubegs rows padded to a sublane-friendly 24
+MAX_HW_STRIPES = 64    # widest band (W stripes, band = W*16) that fits the
+                       # 16 MB scoped VMEM on a real chip (probed on v5e:
+                       # W=64 needs Rs=8 + defer off; W=128 cannot fit)
+
+
+def fits_hw_vmem(W: int, qp: int) -> bool:
+    """Whether a (band stripes W, padded query length qp) config fits the
+    16 MB scoped VMEM on a real chip.
+
+    The whole padded query is VMEM-resident (`qch` below: ~(qp+W*SLANES)*
+    BL*4 bytes after C_CHUNK rounding) on top of a working set that grows
+    ~linearly in W (state planes + Mosaic stack temporaries). Bounds are
+    probe-calibrated on v5e (round 4): W=64/Rs=8 passed at qp~600 and
+    OOM'd by 0.6 MB at qp~2200+; W=16..32 passed at qp~2600 (2 kb parity
+    matrix); W<=8 is the production config at qp~2.5k with plenty of
+    headroom. Callers fall back to the XLA scan engine when this is
+    False (align/pairwise._engine_for_band)."""
+    qpc = roundup(qp + W * SLANES, C_CHUNK)
+    if W <= 8:
+        return qpc <= 12288
+    if W <= 32:
+        return qpc <= 8192
+    if W <= MAX_HW_STRIPES:
+        return qpc <= 2688
+    return False
+
+
+class BandTooWideError(ValueError):
+    """Raised at make_forward time when the requested band cannot fit VMEM
+    on real TPU hardware; callers fall back to the XLA scan engine."""
 
 
 def _adds8(a, b):
@@ -1037,7 +1068,17 @@ def make_forward(T: int, W: int, mode: int, piecewise: int, gapo1: int,
     BL-pair blocks alternate in the instruction stream). Measured on
     v5e: the toy row-recurrence POC gains 2.4x from S=4, but the full
     kernel loses ~10% at S=2 (larger VMEM working set + per-row
-    control flow outweigh the extra chain ILP), so the default stays 1."""
+    control flow outweigh the extra chain ILP), so the default stays 1.
+
+    Wide bands (probed on a real v5e chip, round 4): the kernel body's
+    [W, WS, BL] vector temporaries grow linearly with W and the
+    deferred-sync path roughly doubles them, so Mosaic's 16 MB scoped
+    VMEM overflows at W > 8 stripes with defer on (34.66 MB requested at
+    W=16).  Auto rules when the caller leaves Rs/defer at None/default:
+    defer only for W <= 8 on hardware; Rs drops 16 -> 8 for W > 32.
+    W > MAX_HW_STRIPES (64, band 1024) does not fit at all and raises
+    BandTooWideError at construction time so drivers can fall back to
+    the XLA scan engine (align/pairwise.py does)."""
     BW = W * WS
     CPW = -(-W // 8)
     mt = mode_type(mode)
@@ -1046,9 +1087,22 @@ def make_forward(T: int, W: int, mode: int, piecewise: int, gapo1: int,
         raise ValueError("codes mode covers piecewise 0/1 only")
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+    if not interpret and W > MAX_HW_STRIPES:
+        raise BandTooWideError(
+            f"banded8 Pallas kernel: band {BW} (W={W} stripes) exceeds the "
+            f"VMEM budget on TPU (max band {MAX_HW_STRIPES * WS}); use the "
+            "XLA scan engine (banded8_jax) for wider bands")
+    if Rs is None or (Rs == 16 and not interpret and W > 32):
+        Rs = 16 if (interpret or W <= 32) else 8
     if defer is None:
         import os
-        defer = os.environ.get("BSA_K8_DEFER", "1") != "0"
+        env = os.environ.get("BSA_K8_DEFER", "1")
+        if env == "0":
+            defer = False
+        else:
+            # hardware VMEM budget: defer's doubled temporaries only fit
+            # narrow bands; interpret mode has no such limit
+            defer = interpret or W <= 8
     defer_eff = bool(defer)
 
     def prepare(qpad, qlen, tseq, tlen, mtx5, rby, init_us, init_es, init_qs,

@@ -57,6 +57,29 @@ def _window_result(g: BSPOA, want_msa: bool) -> WindowResult:
                         snv.getvalue(), msa)
 
 
+# Process-wide cache of the lockstep probe verdict: does the batched device
+# remsa beat the per-window host C engine on THIS host/link?  None = not yet
+# probed; the first multi-window lockstep run times one real round both ways
+# (compile excluded) and caches the winner — the empirical selection the
+# round-3 backend-name heuristic got wrong (it shipped a 36x regression when
+# the device sat behind a slow tunnel).  BSA_PEDIT_DEVICE=force pins device.
+_PEDIT_DEV_WINS: Optional[bool] = None
+
+
+def _dev_round(pend, pedit_forward_batch):
+    """Run one realignment round for `pend` [(g, ctx, all_)] with every
+    window's profile DPs batched into one device call."""
+    jobs, spans = [], []
+    for g, ctx, all_ in pend:
+        gj, spec = g._remsa_dev_build(ctx, all_)
+        spans.append((g, ctx, spec, all_, len(jobs), len(gj)))
+        jobs.extend(gj)
+    mats = pedit_forward_batch(jobs) if jobs else []
+    for g, ctx, spec, all_, off, n in spans:
+        g._remsa_dev_apply(ctx, spec, mats[off:off + n], all_)
+    return jobs
+
+
 def run_windows_lockstep(windows: Sequence[Sequence],
                          par: Optional[BSPOAPar] = None,
                          want_msa: bool = False) -> List[WindowResult]:
@@ -65,13 +88,25 @@ def run_windows_lockstep(windows: Sequence[Sequence],
     and each round's per-read forward DPs — across EVERY window — run as a
     single Pallas kernel call (SURVEY.md §7 stage 5: host graph surgery per
     window, device DP batched across windows). Byte-identical per-window
-    results to run_windows."""
+    results to run_windows.
+
+    The first multi-window call probes device-vs-host empirically (one
+    round: window 0 on the host C engine, the rest in one device call,
+    compile time excluded) and caches the winner for the process; on a
+    slow host<->device link the whole thing degrades gracefully to the
+    host engine instead of shipping a regression."""
+    import os
+    import time as _time
+
     from ..native import rowops as NR
     from ..ops.pedit_pallas import pedit_forward_batch
 
+    global _PEDIT_DEV_WINS
     par = par or BSPOAPar()
     if par.editbw < 0 or not NR.available():
         return run_windows(windows, par, want_msa=want_msa, device=False)
+    if os.environ.get("BSA_PEDIT_DEVICE") == "force":
+        _PEDIT_DEV_WINS = True
     gs = []
     for w in windows:
         g = BSPOA(par)
@@ -84,8 +119,7 @@ def run_windows_lockstep(windows: Sequence[Sequence],
         gs.append(g)
     active = [g.end_begin() for g in gs]
     for i in range(par.realn):
-        pend = []       # (graph, ctx, spec, all_, job slice) awaiting mats
-        jobs = []
+        pend = []       # (graph, ctx, all_) windows with work this round
         for g, a in zip(gs, active):
             if not a:
                 continue
@@ -95,12 +129,36 @@ def run_windows_lockstep(windows: Sequence[Sequence],
             ctx = g._remsa_prepare(par.editbw // 2, 1)
             if ctx is None:
                 continue
-            gj, spec = g._remsa_dev_build(ctx, all_)
-            pend.append((g, ctx, spec, all_, len(jobs), len(gj)))
-            jobs.extend(gj)
-        mats = pedit_forward_batch(jobs) if jobs else []
-        for g, ctx, spec, all_, off, n in pend:
-            g._remsa_dev_apply(ctx, spec, mats[off:off + n], all_)
+            pend.append((g, ctx, all_))
+        if not pend:
+            continue
+        use_dev = _PEDIT_DEV_WINS
+        if use_dev is None and len(pend) >= 2:
+            # probe round: window 0 host (timed) vs the rest batched on
+            # device (timed; a throwaway warm-up call excludes compile)
+            g0, ctx0, all0 = pend[0]
+            t0 = _time.perf_counter()
+            g0._remsa_host_run(ctx0, all0)
+            t_host = _time.perf_counter() - t0
+            jobs, spans = [], []
+            for g, ctx, all_ in pend[1:]:
+                gj, spec = g._remsa_dev_build(ctx, all_)
+                spans.append((g, ctx, spec, all_, len(jobs), len(gj)))
+                jobs.extend(gj)
+            if jobs:
+                pedit_forward_batch(jobs)    # compile at these exact shapes
+                t0 = _time.perf_counter()
+                mats = pedit_forward_batch(jobs)
+                t_dev = (_time.perf_counter() - t0) / (len(pend) - 1)
+                for g, ctx, spec, all_, off, n in spans:
+                    g._remsa_dev_apply(ctx, spec, mats[off:off + n], all_)
+                _PEDIT_DEV_WINS = t_dev <= t_host
+            continue
+        if use_dev or (use_dev is None and len(pend) >= 2):
+            _dev_round(pend, pedit_forward_batch)
+        else:
+            for g, ctx, all_ in pend:
+                g._remsa_host_run(ctx, all_)
     for g, a in zip(gs, active):
         if a:
             g.end_finish()

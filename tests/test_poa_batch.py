@@ -75,3 +75,51 @@ def test_run_windows_shipped_default_end_to_end():
     finally:
         if saved is not None:
             os.environ["BSA_PEDIT_DEVICE"] = saved
+
+
+def test_lockstep_probe_falls_back_to_host(monkeypatch):
+    """The empirical device-vs-host probe (VERDICT r3 item 4): when the
+    device exec is slower than the host C engine, the first lockstep call
+    must cache a host verdict and still produce byte-identical results."""
+    import time
+
+    from bsalign_tpu.native import rowops as NR
+    from bsalign_tpu.ops import pedit_pallas
+    import bsalign_tpu.poa.batch as PB
+
+    if not NR.available():
+        import pytest
+        pytest.skip("native rowops unavailable")
+    wins = [_win(s) for s in range(3)]
+    par = default_poa_par()
+    host = PB.run_windows(wins, par, device=False)
+
+    calls = []
+
+    def slow_exec(jobs, **kw):
+        # artificially slow "device" that still returns byte-exact forward
+        # matrices (the native engine fills the same layout the Pallas
+        # kernel emits; parity between the two is pinned by
+        # test_poa_lockstep) — avoids minutes of interpret-mode Pallas
+        calls.append(len(jobs))
+        time.sleep(0.4)       # slower than any host window round
+        outs = []
+        for j in jobs:
+            rowlen = j.bw + 2
+            m0 = np.zeros((2 * j.mlen + 2) * rowlen, np.uint8)
+            m1 = np.zeros_like(m0)
+            NR.pedit_forward(m0, m1, j.seqs0, j.seqs1, j.mats0, j.mats1,
+                             j.mlen, j.mbeg, j.mend, j.bw, j.HW, rowlen)
+            outs.append((m0, m1))
+        return outs
+
+    monkeypatch.delenv("BSA_PEDIT_DEVICE", raising=False)
+    monkeypatch.setattr(pedit_pallas, "pedit_forward_batch", slow_exec)
+    monkeypatch.setattr(PB, "_PEDIT_DEV_WINS", None)
+    dev = PB.run_windows_lockstep(wins, par)
+    assert PB._PEDIT_DEV_WINS is False         # probe picked host
+    assert len(calls) == 2                     # warm-up + timed, then done
+    for a, b in zip(host, dev):
+        assert np.array_equal(a.cns, b.cns)
+        assert np.array_equal(a.qlt, b.qlt)
+        assert a.snvs == b.snvs

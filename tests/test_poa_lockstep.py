@@ -44,6 +44,12 @@ def test_lockstep_matches_sequential(monkeypatch):
     monkeypatch.setattr(
         pedit_pallas, "pedit_forward_batch",
         functools.partial(pedit_pallas.pedit_forward_batch, interpret=True))
+    # pin the device path: the empirical probe would (correctly) pick the
+    # host engine under interpret mode, but this test exists to check the
+    # device path's byte parity
+    import bsalign_tpu.poa.batch as PB
+    monkeypatch.setenv("BSA_PEDIT_DEVICE", "force")
+    monkeypatch.setattr(PB, "_PEDIT_DEV_WINS", None)
     # pin eager placement to CPU so the interpret-mode kernel never touches
     # a (possibly tunneled) accelerator in the test environment
     old_dev = jax.config.jax_default_device
