@@ -36,7 +36,11 @@ REF_BIN = os.path.join(REF_BUILD, "bsalign")
 B = int(os.environ.get("BSA_BENCH_B", 256))
 L = int(os.environ.get("BSA_BENCH_L", 2000))
 BW = int(os.environ.get("BSA_BENCH_W", 128))
-QUEUE = int(os.environ.get("BSA_BENCH_QUEUE", 10))
+# launch queue depth: the headline is kernel cells/s with launch latency
+# amortized; at 10 the 1-core host's enqueue loop dominates (round-4's
+# 15.4G "kernel" number was actually dispatch-bound — the same binary
+# measured 38G at queue 300 on an idle host)
+QUEUE = int(os.environ.get("BSA_BENCH_QUEUE", 100))
 
 
 def gen_pairs(n, length, err=0.10, seed=0):
@@ -95,8 +99,10 @@ def bench_kernel(qs, ts, codes=False, scores_only=False, defer=None):
         return float(np.sum(tlens)) * BW / dt
     call, ops, _meta = fwd.prepare(*args)
     dev = [jax.device_put(a) for a in ops]
+    t0 = time.time()
     outs = call(*dev)
     np.asarray(outs[-1])
+    bench_kernel.last_compile_s = round(time.time() - t0, 2)
     t0 = time.time()
     for _ in range(QUEUE):
         outs = call(*dev)
@@ -256,10 +262,13 @@ def bench_poa_windows():
     return rates
 
 
-def bench_reference(qs, ts):
+def bench_reference(qs, ts, samples=5):
+    """Reference binary 1-thread cells/s: mean + stddev over `samples`
+    repeats (round-3/4 verdicts flagged +-30% swings from single-sample
+    timing on this shared host)."""
     if not os.path.exists(REF_BIN):
         if not os.path.isdir(REF_SRC):
-            return None
+            return None, None
         os.makedirs(REF_BUILD, exist_ok=True)
         subprocess.run(f"cp -r {REF_SRC}/* {REF_BUILD}/", shell=True,
                        check=True)
@@ -273,12 +282,81 @@ def bench_reference(qs, ts):
             f.write(f">q{i}\n" + "".join(bases[b] for b in qs[i]) + "\n")
             f.write(f">t{i}\n" + "".join(bases[b] for b in ts[i]) + "\n")
     R = 20
-    t0 = time.time()
-    subprocess.run([REF_BIN, "align", "-m", "global", "-W", str(BW),
-                    "-R", str(R), fa], capture_output=True, check=True)
-    dt = time.time() - t0
     cells = sum(len(t) for t in ts[:n]) * BW * R
-    return cells / dt
+    rates = []
+    for _ in range(max(1, samples)):
+        t0 = time.time()
+        subprocess.run([REF_BIN, "align", "-m", "global", "-W", str(BW),
+                        "-R", str(R), fa], capture_output=True, check=True)
+        rates.append(cells / (time.time() - t0))
+    mean = float(np.mean(rates))
+    std = float(np.std(rates))
+    return mean, std
+
+
+def bench_wide_bands(qs, ts):
+    """Kernel cells/s at the paper's wider bands (ScriptsForPaper.txt:17-22
+    benches bands {128,256,512,1024}); band 128 is the headline, these go
+    to extras. Uses whatever engine the library would pick for the band
+    (Pallas while it fits VMEM, the XLA scan engine past that)."""
+    import jax
+    from bsalign_tpu.align import pairwise as P
+    from bsalign_tpu.oracle import banded8 as O
+    out = {}
+    mtx = O.set_score_matrix(2, -6)
+    for bw in (256, 512, 1024):
+        try:
+            qpad, qlens, tpad, tlens, rby, T = P._pack_batch(qs, ts, bw)
+            us0, es0, qs0, ub0, _ = P._init_state(0, bw, 1, 2, -6, -3, -2,
+                                                  0, 0, len(qs))
+            args = (qpad, qlens, tpad, tlens, P._mtx5(mtx), rby,
+                    us0, es0, qs0, ub0)
+            eng = P._engine_for_band(bw // 16, qpad.shape[1])
+            name = getattr(eng, "__name__", "engine").rsplit(".", 1)[-1]
+            fwd = eng.make_forward(T, bw // 16, 0, 1, -3, -2, 0, 0, 2, -6)
+            if hasattr(fwd, "prepare"):
+                call, ops, _m = fwd.prepare(*args)
+                dev = [jax.device_put(a) for a in ops]
+                outs = call(*dev)
+                np.asarray(outs[-1])
+                t0 = time.time()
+                for _ in range(QUEUE):
+                    outs = call(*dev)
+                np.asarray(outs[-1])
+            else:
+                dev = jax.device_put(args)
+                outs = fwd(*dev)
+                jax.block_until_ready(outs)
+                t0 = time.time()
+                for _ in range(QUEUE):
+                    outs = fwd(*dev)
+                jax.block_until_ready(outs)
+            dt = (time.time() - t0) / QUEUE
+            out[f"kernel_cells_per_s_W{bw}"] = round(
+                float(np.sum(tlens)) * bw / dt, 1)
+            out[f"kernel_engine_W{bw}"] = name
+        except Exception as e:
+            out[f"kernel_W{bw}_error"] = str(e)[:120]
+    return out
+
+
+def bench_dist_loopback():
+    """CPU-loopback jax.distributed throughput (BASELINE.json's N-host
+    measurement point, shape-checked on localhost). NOTE: this host has ONE
+    CPU core, so 2 processes timeshare it -- the meaningful signal is that
+    the sharded run's aggregate rate stays ~equal to 1proc (near-zero
+    distribution overhead), not a 2x speedup no single core can give."""
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "tools"))
+    import dist_loopback as DL
+    out = {}
+    r1, _ = DL.run_loopback_timed(1, n_pairs=16, length=400)
+    r2, times2 = DL.run_loopback_timed(2, n_pairs=16, length=400)
+    out["dist_loopback_pairs_per_s_1proc"] = round(r1, 2)
+    out["dist_loopback_pairs_per_s_2proc"] = round(r2, 2)
+    out["dist_loopback_2proc_worker_walls_s"] = [
+        round(t, 2) for t in times2]
+    return out
 
 
 def main():
@@ -299,7 +377,9 @@ def main():
             extras["kernel_exact_fallback"] = str(e2)[:120]
             os.environ["BSA_FORWARD_ENGINE"] = "jax"
             kernel_cells = bench_kernel(qs, ts)
-    ref_1t = bench_reference(qs, ts)
+    extras["kernel_compile_plus_first_s"] = getattr(
+        bench_kernel, "last_compile_s", None)
+    ref_1t, ref_std = bench_reference(qs, ts)
     try:
         extras["e2e_pairs_per_s_2kb_W128_B32"] = round(
             bench_e2e(qs, ts, min(32, len(qs))), 2)
@@ -321,6 +401,14 @@ def main():
             bench_kernel(qs, ts, defer=False), 1)
     except Exception as e:
         extras["kernel_modes_error"] = str(e)[:120]
+    try:
+        extras.update(bench_wide_bands(qs, ts))
+    except Exception as e:
+        extras["wide_band_error"] = str(e)[:120]
+    try:
+        extras.update(bench_dist_loopback())
+    except Exception as e:
+        extras["dist_loopback_error"] = str(e)[:160]
     try:
         extras["edit_kernel_cells_per_s"] = round(
             bench_edit_kernel(qs, ts), 1)
@@ -346,6 +434,7 @@ def main():
         kernel_cells = 0.0
     if ref_1t and kernel_cells:
         extras["ref_1thread_sse_cells_per_s"] = round(ref_1t, 1)
+        extras["ref_1thread_stddev"] = round(ref_std, 1)
         extras["vs_ref_1thread"] = round(kernel_cells / ref_1t, 2)
     # honest target baseline: 32-thread AVX2 estimate = 1-thread SSE x2 x32
     baseline = ref_1t * 64 if ref_1t else None

@@ -149,7 +149,12 @@ def _get_call(T, W, mode, piecewise, gapo1, gape1, gapo2, gape2, nt_max,
     GapOQ = max(-128, min(127, GapOE - GapQP))
     mt = mode_type(mode)
     TC = Tp // Rs
-    TF = min(4, W - 1)  # fast-tier max band move per row
+    TF = min(4, W - 1)   # fast-tier max band move per row (exact tier)
+    # optimistic-tier max move: the binary-composition shift covers
+    # [0 .. 2^ceil(log2(k+1)) - 1] in popcount steps, so 3 costs the same
+    # two steps as 2 — moves past TFO raise a violation and the chunk
+    # replays through the exact tier
+    TFO = min(3, W - 1)
     SLACK_BUDGET = (SLANES - WS - 2) * W
     if piecewise == 2:
         D_OH = (gapo1 - gapo2) // (gape2 - gape1)
@@ -187,14 +192,24 @@ def _get_call(T, W, mode, piecewise, gapo1, gape1, gapo2, gape2, nt_max,
                 sc = jnp.where(w17 == v, srow_v[None], sc)
         return sc[:, :WS, :], sc[0, 1:WS + 1, :]
 
-    # ---------- band state shift (movx), fast tier: mov in [0, TF] ----------
-    def plane_shift_fast(x, mov):
+    # ---------- band state shift (movx), fast tier: mov in [0, kmax] -------
+    def plane_shift_fast(x, mov, kmax=None):
+        """Positional shift by per-pair mov via binary composition: apply
+        shift-by-2^b when bit b of mov is set.  Positional shifts compose
+        (shift_a o shift_b = shift_{a+b}), so popcount steps replace the
+        kmax-way select chain; covers mov in [0, 2^nbits - 1].  Measured on
+        v5e (round 5, queue=100): +1.4 Gcells/s over the select chain."""
+        if kmax is None:
+            kmax = TF
         out = x
-        for k in range(1, TF + 1):
-            rolled = _roll_stripes(x, k)
+        bit = 1
+        while bit <= kmax:
+            rolled = _roll_stripes(out, bit)
             hi = _lanes_dn(rolled, 1)
-            shifted = jnp.concatenate([rolled[:W - k], hi[W - k:]], axis=0)
-            out = jnp.where(mov[None] == k, shifted, out)
+            shifted = jnp.concatenate([rolled[:W - bit], hi[W - bit:]],
+                                      axis=0)
+            out = jnp.where((mov[None] & bit) != 0, shifted, out)
+            bit *= 2
         return out
 
     def overhang_fill(us_s, movc):
@@ -226,11 +241,13 @@ def _get_call(T, W, mode, piecewise, gapo1, gape1, gapo2, gape2, nt_max,
             summ = jnp.where(mov > k, pref, summ)
         return summ
 
-    def movx_fast(planes, ub, mov):
+    def movx_fast(planes, ub, mov, kmax=None):
+        if kmax is None:
+            kmax = TF
         us = planes[0]
-        ubt = ub[:WS] + stripe_prefix_mask_sum(us, mov, TF)
+        ubt = ub[:WS] + stripe_prefix_mask_sum(us, mov, kmax)
         ub_n = jnp.concatenate([ubt, ub[WS:WS + 1]], axis=0)
-        outs = [plane_shift_fast(p, mov) for p in planes]
+        outs = [plane_shift_fast(p, mov, kmax) for p in planes]
         outs[0] = overhang_fill(outs[0], mov)
         ub_n = ub_overhang_adj(ub_n, mov)
         iz = (mov == 0)[None]
@@ -238,12 +255,14 @@ def _get_call(T, W, mode, piecewise, gapo1, gape1, gapo2, gape2, nt_max,
         ub_n = jnp.where(mov == 0, ub, ub_n)
         return outs, ub_n
 
-    def rh_move_fast(us, ub, mov_eff):
-        # H(prev row, band pos mov_eff-1); mov_eff-1 < TF < W so y == 0
+    def rh_move_fast(us, ub, mov_eff, kmax=None):
+        # H(prev row, band pos mov_eff-1); mov_eff-1 < kmax < W so y == 0
+        if kmax is None:
+            kmax = TF
         pos = jnp.maximum(mov_eff - 1, 0)                    # (1, BL)
         acc = us[0, 0:1]
         sc = acc
-        for k in range(1, max(TF, 1)):
+        for k in range(1, max(kmax, 1)):
             acc = acc + us[k, 0:1]
             sc = jnp.where(pos == k, acc, sc)
         return ub[0:1] + sc
@@ -810,12 +829,12 @@ def _get_call(T, W, mode, piecewise, gapo1, gape1, gapo2, gape2, nt_max,
                 # in the scan closed forms) are accumulated per pair and
                 # resolved by an exact chunk replay, amortizing the
                 # per-row scalar syncs to one per Rs rows.
-                viol = ((mov_eff > TF).astype(I32)
+                viol = ((mov_eff > TFO).astype(I32)
                         + (macc_pre > SLACK_BUDGET).astype(I32))
-                outs_p, ub0 = movx_fast(planes, ub, mov_eff)
-                rh_move = rh_move_fast(planes[0], ub, mov_eff)
+                outs_p, ub0 = movx_fast(planes, ub, mov_eff, TFO)
+                rh_move = rh_move_fast(planes[0], ub, mov_eff, TFO)
                 macc_n = macc_pre
-                s_win[s] = plane_shift_fast(s_win[s], mov_eff)
+                s_win[s] = plane_shift_fast(s_win[s], mov_eff, TFO)
             else:
                 # one fused scalar sync for both control decisions:
                 # sum preserves "any pair" for each flag exactly
@@ -930,10 +949,19 @@ def _get_call(T, W, mode, piecewise, gapo1, gape1, gapo2, gape2, nt_max,
             # budget check in row_step still catches overruns exactly.
             for s in range(S):
                 macc0 = s_reg[s, REG_MACC:REG_MACC + 1]
-                need = macc0 > SLACK_BUDGET - TF * Rs
-                win_f = refresh_win(s, s_reg[s, REG_RBEG:REG_RBEG + 1])
-                s_win[s] = jnp.where(need[None], win_f, s_win[s])
-                s_reg[s, REG_MACC:REG_MACC + 1] = jnp.where(need, 0, macc0)
+                need = macc0 > SLACK_BUDGET - TFO * Rs
+
+                # one scalar sync per chunk (like the vflag check below)
+                # gates the expensive full-window regather: most chunks
+                # have every pair inside the slack budget and skip it
+                @pl.when(jnp.sum(need.astype(I32)) > 0)
+                def _soft_refresh(s=s, need=need, macc0=macc0):
+                    win_f = refresh_win(
+                        s, s_reg[s, REG_RBEG:REG_RBEG + 1])
+                    s_win[s] = jnp.where(need[None], win_f, s_win[s])
+                    s_reg[s, REG_MACC:REG_MACC + 1] = jnp.where(
+                        need, 0, macc0)
+
                 for sv, sp in zip(s_save, s_planes):
                     sv[s] = sp[s]
                 sv_ub[s] = s_ub[s]
@@ -1058,7 +1086,7 @@ def _get_call(T, W, mode, piecewise, gapo1, gape1, gapo2, gape2, nt_max,
 
 def make_forward(T: int, W: int, mode: int, piecewise: int, gapo1: int,
                  gape1: int, gapo2: int, gape2: int, nt_max: int, nt_min: int,
-                 jit: bool = True, *, BL: int = 128, Rs: int = 16,
+                 jit: bool = True, *, BL: int = 128, Rs=None,
                  S: int = 1, scores_only: bool = False, codes: bool = False,
                  interpret=None, defer=None):
     """Drop-in replacement for banded8_jax.make_forward using the Pallas
@@ -1092,13 +1120,20 @@ def make_forward(T: int, W: int, mode: int, piecewise: int, gapo1: int,
             f"banded8 Pallas kernel: band {BW} (W={W} stripes) exceeds the "
             f"VMEM budget on TPU (max band {MAX_HW_STRIPES * WS}); use the "
             "XLA scan engine (banded8_jax) for wider bands")
-    if Rs is None or (Rs == 16 and not interpret and W > 32):
+    if Rs is None:
         Rs = 16 if (interpret or W <= 32) else 8
+    elif not interpret and W > 32 and Rs > 8:
+        from ..utils import metrics
+        metrics.log(1, f"banded8: explicit Rs={Rs} at W={W} stripes exceeds "
+                       "the probed VMEM budget on hardware (auto would pick "
+                       "Rs=8); honoring the request — expect possible OOM")
     if defer is None:
         import os
         env = os.environ.get("BSA_K8_DEFER", "1")
         if env == "0":
             defer = False
+        elif env == "force":
+            defer = True
         else:
             # hardware VMEM budget: defer's doubled temporaries only fit
             # narrow bands; interpret mode has no such limit

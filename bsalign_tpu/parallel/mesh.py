@@ -89,7 +89,7 @@ def mesh_interpret_default(mesh: Mesh):
 
 def make_sharded_pallas_forward(T, W, mode, piecewise, gapo1, gape1, gapo2,
                                 gape2, nt_max, nt_min, mesh: Mesh,
-                                BL=128, Rs=16, interpret=None):
+                                BL=128, Rs=None, interpret=None):
     """Shard the Pallas banded-8 kernel over the mesh data axis.
 
     The kernel's leading operand axis is the batch-block (NB); shard_map

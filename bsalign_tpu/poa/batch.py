@@ -105,8 +105,11 @@ def run_windows_lockstep(windows: Sequence[Sequence],
     par = par or BSPOAPar()
     if par.editbw < 0 or not NR.available():
         return run_windows(windows, par, want_msa=want_msa, device=False)
-    if os.environ.get("BSA_PEDIT_DEVICE") == "force":
+    _env = os.environ.get("BSA_PEDIT_DEVICE")
+    if _env == "force":
         _PEDIT_DEV_WINS = True
+    elif _env == "0":        # explicit host pin beats the probe
+        _PEDIT_DEV_WINS = False
     gs = []
     for w in windows:
         g = BSPOA(par)
@@ -140,19 +143,35 @@ def run_windows_lockstep(windows: Sequence[Sequence],
             t0 = _time.perf_counter()
             g0._remsa_host_run(ctx0, all0)
             t_host = _time.perf_counter() - t0
+            # Time the device side end-to-end: build + forward + apply, the
+            # same work _dev_round does per round (a forward-only timing is
+            # biased toward device verdicts that lose once the host-side
+            # build/apply costs are paid).  Warm-up excludes compile only.
+            t0 = _time.perf_counter()
             jobs, spans = [], []
             for g, ctx, all_ in pend[1:]:
                 gj, spec = g._remsa_dev_build(ctx, all_)
                 spans.append((g, ctx, spec, all_, len(jobs), len(gj)))
                 jobs.extend(gj)
+            t_build = _time.perf_counter() - t0
+            t_fwd = 0.0
+            mats = []
             if jobs:
                 pedit_forward_batch(jobs)    # compile at these exact shapes
                 t0 = _time.perf_counter()
                 mats = pedit_forward_batch(jobs)
-                t_dev = (_time.perf_counter() - t0) / (len(pend) - 1)
-                for g, ctx, spec, all_, off, n in spans:
-                    g._remsa_dev_apply(ctx, spec, mats[off:off + n], all_)
-                _PEDIT_DEV_WINS = t_dev <= t_host
+                t_fwd = _time.perf_counter() - t0
+            # Apply runs unconditionally: even a zero-job window must see
+            # del_msanodes/nrds bookkeeping or later rounds corrupt.
+            t0 = _time.perf_counter()
+            for g, ctx, spec, all_, off, n in spans:
+                g._remsa_dev_apply(ctx, spec, mats[off:off + n], all_)
+            t_apply = _time.perf_counter() - t0
+            if jobs:
+                t_dev = (t_build + t_fwd + t_apply) / (len(pend) - 1)
+                # 10% margin: on a marginal link, prefer the engine whose
+                # cost we did not just estimate from a single round.
+                _PEDIT_DEV_WINS = t_dev <= t_host * 0.9
             continue
         if use_dev or (use_dev is None and len(pend) >= 2):
             _dev_round(pend, pedit_forward_batch)

@@ -5,6 +5,10 @@ state, anchors and best-end registers resume bit-for-bit)."""
 import numpy as np
 import pytest
 
+# heavyweight interpret-mode kernel coverage: excluded from the default
+# profile (pyproject addopts -m "not slow"); run via `pytest -m slow`
+pytestmark = pytest.mark.slow
+
 from bsalign_tpu.align import pairwise as P
 from bsalign_tpu.oracle import banded8 as O
 

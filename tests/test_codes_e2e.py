@@ -8,6 +8,10 @@ the suite otherwise only covers the Python extractor/decoder pair
 import numpy as np
 import pytest
 
+# heavyweight interpret-mode kernel coverage: excluded from the default
+# profile (pyproject addopts -m "not slow"); run via `pytest -m slow`
+pytestmark = pytest.mark.slow
+
 from bsalign_tpu.align import btcodes as BC
 from bsalign_tpu.align import pairwise as P
 from bsalign_tpu.cigar import AlnResult

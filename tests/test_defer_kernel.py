@@ -8,6 +8,10 @@ out-of-tree fuzz (tools/fuzz_parity.py) against the reference binary.
 import numpy as np
 import pytest
 
+# heavyweight interpret-mode kernel coverage: excluded from the default
+# profile (pyproject addopts -m "not slow"); run via `pytest -m slow`
+pytestmark = pytest.mark.slow
+
 from bsalign_tpu.align import pairwise as P
 from bsalign_tpu.constants import MODE_GLOBAL
 from bsalign_tpu.oracle import banded8 as O

@@ -2,6 +2,10 @@
 import numpy as np
 import pytest
 
+# heavyweight interpret-mode kernel coverage: excluded from the default
+# profile (pyproject addopts -m "not slow"); run via `pytest -m slow`
+pytestmark = pytest.mark.slow
+
 from bsalign_tpu.constants import roundup
 from bsalign_tpu.oracle import banded8 as O
 from bsalign_tpu.align.pairwise import align_batch

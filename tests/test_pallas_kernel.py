@@ -8,6 +8,10 @@ the kernel math is identical at any block size.
 import numpy as np
 import pytest
 
+# heavyweight interpret-mode kernel coverage: excluded from the default
+# profile (pyproject addopts -m "not slow"); run via `pytest -m slow`
+pytestmark = pytest.mark.slow
+
 from bsalign_tpu.align import pairwise as P
 from bsalign_tpu.oracle import banded8 as O
 from bsalign_tpu.ops import banded8_jax as KJ

@@ -12,10 +12,15 @@ from bsalign_tpu.constants import MODE_GLOBAL, MODE_OVERLAP
 from bsalign_tpu.oracle import banded8 as O
 from bsalign_tpu.ops import banded8_pallas as BP
 
-pytestmark = pytest.mark.skipif(
-    not __import__("bsalign_tpu.native", fromlist=["rowops"]
-                   ).rowops.available(),
-    reason="native rowops unavailable")
+# slow: interpret-mode Pallas forward at several T-chunk splits (excluded
+# from the default profile; run via `pytest -m slow`)
+pytestmark = [
+    pytest.mark.slow,
+    pytest.mark.skipif(
+        not __import__("bsalign_tpu.native", fromlist=["rowops"]
+                       ).rowops.available(),
+        reason="native rowops unavailable"),
+]
 
 
 def _pair(rng, L, err):

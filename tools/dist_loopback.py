@@ -43,24 +43,37 @@ def _free_port():
     return port
 
 
-def _worker_code(mode, pair_file, out_file, dist=True):
+def _worker_code(mode, pair_file, out_file, dist=True, time_file=None):
     fn, argv = {
         "align": ("main_align", ["-m", "global", "-W", "128", pair_file]),
         "edit": ("main_edit", ["-m", "global", "-W", "0", pair_file]),
     }[mode]
     if dist:
         argv = argv[:-1] + ["--dist", pair_file]
-    return f"""
-import io, sys
+    # self-reported wall time around the CLI call: excludes python/jax
+    # process startup (which would swamp a throughput number) but includes
+    # compile (warm via the persistent compilation cache)
+    code = f"""
+import io, sys, time
 from contextlib import redirect_stdout
 from bsalign_tpu import cli
+from bsalign_tpu.parallel import dist as _dist
+if {dist!r}:
+    _dist.init()   # coordination handshake outside the timed region
+t0 = time.perf_counter()
 buf = io.StringIO()
 with redirect_stdout(buf):
     cli.{fn}({argv!r})
+dt = time.perf_counter() - t0
 import jax
 if jax.process_index() == 0:
     open({out_file!r}, "w").write(buf.getvalue())
 """
+    if time_file:
+        code += f"""
+open({time_file!r} + str(jax.process_index()), "w").write(str(dt))
+"""
+    return code
 
 
 def run_loopback(nprocs=2, mode="align", n_pairs=5, length=300, timeout=600):
@@ -114,11 +127,68 @@ def run_loopback(nprocs=2, mode="align", n_pairs=5, length=300, timeout=600):
     return got == expected, expected, got
 
 
+def run_loopback_timed(nprocs, mode="align", n_pairs=24, length=400,
+                       timeout=900, warm=True):
+    """Distributed loopback THROUGHPUT: returns (pairs_per_s, per_proc_s).
+
+    pairs/s = n_pairs / max(worker self-reported CLI wall), i.e. the wall
+    time of the slowest shard excluding process startup.  `warm=True` runs
+    once first so the persistent compilation cache is hot and the measured
+    pass reflects steady-state work, not XLA compiles.
+    """
+    tmp = tempfile.mkdtemp(prefix="bsa_dist_bench_")
+    pair_file = os.path.join(tmp, "pairs.fa")
+    subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "gen_pairs.py"),
+         "-n", str(n_pairs), "-l", str(length), "-e", "0.12", "-s", "11",
+         "-o", pair_file],
+        check=True, env=_cpu_env())
+    rounds = (2 if warm else 1)
+    times = None
+    for it in range(rounds):
+        port = _free_port()
+        outd = os.path.join(tmp, f"dist{it}.txt")
+        tf = os.path.join(tmp, f"t{it}_")
+        procs = []
+        for pid in range(nprocs):
+            env = _cpu_env({
+                "BSA_COORD": f"127.0.0.1:{port}",
+                "BSA_NPROCS": str(nprocs),
+                "BSA_PROC_ID": str(pid),
+            })
+            procs.append(subprocess.Popen(
+                [sys.executable, "-c",
+                 _worker_code(mode, pair_file, outd, dist=nprocs > 1,
+                              time_file=tf)],
+                env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                text=True, cwd=REPO))
+        for pid, p in enumerate(procs):
+            try:
+                _, err = p.communicate(timeout=timeout)
+            except subprocess.TimeoutExpired:
+                for q in procs:
+                    q.kill()
+                raise RuntimeError(f"worker {pid} timed out")
+            if p.returncode != 0:
+                raise RuntimeError(
+                    f"worker {pid} rc={p.returncode}:\n{err[-2000:]}")
+        times = [float(open(tf + str(pid)).read()) for pid in range(nprocs)]
+    slowest = max(times)
+    return n_pairs / slowest, times
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--nprocs", type=int, default=2)
     ap.add_argument("--mode", default="align", choices=["align", "edit"])
+    ap.add_argument("--bench", action="store_true",
+                    help="measure pairs/s instead of checking parity")
     args = ap.parse_args()
+    if args.bench:
+        rate, times = run_loopback_timed(args.nprocs, args.mode)
+        print(f"DIST LOOPBACK BENCH {args.nprocs} procs: {rate:.2f} pairs/s "
+              f"(per-proc CLI walls: {[round(t, 2) for t in times]})")
+        return 0
     ok, expected, got = run_loopback(args.nprocs, args.mode)
     if ok:
         print(f"DIST LOOPBACK OK ({args.nprocs} procs, mode={args.mode}, "

@@ -69,33 +69,40 @@ def main():
     ap.add_argument("--modes", default="global,overlap")
     args = ap.parse_args()
 
-    fa = tempfile.mktemp(suffix=".fa")
-    gen(fa, args.n, args.l, args.e, 42)
+    if not os.path.exists(REF_BIN):
+        print(f"ERROR: reference binary not found at {REF_BIN} "
+              "(set BSA_REF_BIN)", file=sys.stderr)
+        return 2
+    fd, fa = tempfile.mkstemp(suffix=".fa")
+    os.close(fd)
     ok = True
-    for mode in args.modes.split(","):
-        for w in (int(x) for x in args.bands.split(",")):
-            cfg = ["-m", mode, "-W", str(w), "-M", "2", "-X", "2",
-                   "-O", "4", "-E", "2", "-Q", "0", "-P", "0"]
-            ref = subprocess.run([REF_BIN, "align", *cfg, fa],
-                                 capture_output=True, text=True,
-                                 check=True).stdout
-            t0 = time.time()
-            mine = ours_align(cfg + [fa])
-            dt = time.time() - t0
-            if mine == ref:
-                print(f"OK   align -m {mode} -W {w}  ({dt:.1f}s)")
-            else:
-                ok = False
-                a, b = ref.splitlines(), mine.splitlines()
-                for i, (x, y) in enumerate(zip(a, b)):
-                    if x != y:
-                        print(f"FAIL align -m {mode} -W {w} @ line {i}\n"
-                              f"  ref : {x[:160]}\n  mine: {y[:160]}")
-                        break
+    try:
+        gen(fa, args.n, args.l, args.e, 42)
+        for mode in args.modes.split(","):
+            for w in (int(x) for x in args.bands.split(",")):
+                cfg = ["-m", mode, "-W", str(w), "-M", "2", "-X", "2",
+                       "-O", "4", "-E", "2", "-Q", "0", "-P", "0"]
+                ref = subprocess.run([REF_BIN, "align", *cfg, fa],
+                                     capture_output=True, text=True,
+                                     check=True).stdout
+                t0 = time.time()
+                mine = ours_align(cfg + [fa])
+                dt = time.time() - t0
+                if mine == ref:
+                    print(f"OK   align -m {mode} -W {w}  ({dt:.1f}s)")
                 else:
-                    print(f"FAIL align -m {mode} -W {w}: "
-                          f"lines ref={len(a)} mine={len(b)}")
-    os.unlink(fa)
+                    ok = False
+                    a, b = ref.splitlines(), mine.splitlines()
+                    for i, (x, y) in enumerate(zip(a, b)):
+                        if x != y:
+                            print(f"FAIL align -m {mode} -W {w} @ line {i}\n"
+                                  f"  ref : {x[:160]}\n  mine: {y[:160]}")
+                            break
+                    else:
+                        print(f"FAIL align -m {mode} -W {w}: "
+                              f"lines ref={len(a)} mine={len(b)}")
+    finally:
+        os.unlink(fa)
     print("PARITY MATRIX:", "OK" if ok else "FAIL")
     return 0 if ok else 1
 
