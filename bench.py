@@ -33,7 +33,9 @@ REF_BUILD = "/root/build/reference"
 REF_BIN = os.path.join(REF_BUILD, "bsalign")
 
 # headline config; env overrides let CI smoke the full bench path on CPU
-B = int(os.environ.get("BSA_BENCH_B", 256))
+# 512 pairs = 2 device chunks of 256: the e2e path exercises the depth-2
+# launch/traceback pipeline (single-chunk runs can't overlap anything)
+B = int(os.environ.get("BSA_BENCH_B", 512))
 L = int(os.environ.get("BSA_BENCH_L", 2000))
 BW = int(os.environ.get("BSA_BENCH_W", 128))
 # launch queue depth: the headline is kernel cells/s with launch latency
@@ -113,17 +115,54 @@ def bench_kernel(qs, ts, codes=False, scores_only=False, defer=None):
 
 def bench_e2e(qs, ts, n):
     """Aligned pairs/s end to end: fresh host operands, kernel, plane fetch,
-    native backcal traceback, CIGARs."""
+    native backcal traceback, CIGARs.  Returns (pairs_per_s, breakdown):
+    the breakdown splits the pipeline into device launch->ready wall,
+    device->host fetch (bytes + measured link MB/s) and host traceback, and
+    reports overlap efficiency (sum of serial parts / total wall; > 1
+    means the depth-2 pipeline hid work behind the device)."""
     from bsalign_tpu.align.pairwise import align_batch
     from bsalign_tpu.oracle import banded8 as O
+    from bsalign_tpu.utils import metrics
     mtx = O.set_score_matrix(2, -6)
     sub_q, sub_t = qs[:n], ts[:n]
     align_batch(sub_q[:4], sub_t[:4], 0, BW, mtx, -3, -2, 0, 0)  # warm
+    metrics.reset()
     t0 = time.time()
     res = align_batch(sub_q, sub_t, 0, BW, mtx, -3, -2, 0, 0)
     dt = time.time() - t0
     assert len(res) == n and res[0][1]
-    return n / dt
+    cs = metrics.counters()
+    brk = {}
+    fwd = cs.get("banded8_fwd")
+    fetch = cs.get("e2e_fetch")
+    tb = cs.get("e2e_traceback")
+    if fwd and fetch and tb:
+        brk["e2e_bytes_per_pair"] = round(fetch.cells / n, 1)
+        if fetch.seconds > 0.05:
+            brk["e2e_fetch_MB_per_s"] = round(
+                fetch.cells / fetch.seconds / 1e6, 1)
+        # in codes mode the device->host transfer happens inside unpack,
+        # so launch_to_ready = device compute + link transfer
+        brk["e2e_device_launch_to_ready_s"] = round(fwd.seconds, 3)
+        brk["e2e_host_traceback_s"] = round(tb.seconds, 3)
+        serial = fwd.seconds + fetch.seconds + tb.seconds
+        brk["e2e_overlap_efficiency"] = round(serial / dt, 3)
+    return n / dt, brk
+
+
+def bench_link_bandwidth(mb=8):
+    """Measured device->host link bandwidth (MB/s): device_get of a
+    device-resident buffer. Separates 'slow tunnel' from 'slow kernel' in
+    every transfer-bound number above."""
+    import jax
+    import jax.numpy as jnp
+    x = jax.device_put(jnp.zeros((mb * 1024 * 1024 // 4,), jnp.int32))
+    x.block_until_ready()
+    np.asarray(x)  # warm
+    t0 = time.time()
+    np.asarray(x)
+    dt = time.time() - t0
+    return mb / dt
 
 
 def bench_edit_kernel(qs, ts, n=256):
@@ -202,33 +241,62 @@ def bench_pedit():
     return R * nsteps * bw / dt
 
 
+def _gen_poa_window(rng, nreads=20, reflen=800, err=0.12):
+    BASES = "ACGT"
+    ref = rng.integers(0, 4, reflen)
+    reads = []
+    for _ in range(nreads):
+        out, i = [], 0
+        while i < reflen:
+            r = rng.random()
+            if r < err * 0.3:
+                out.append((int(ref[i]) + int(rng.integers(1, 4))) & 3)
+                i += 1
+            elif r < err * 0.6:
+                out.append(int(rng.integers(0, 4)))
+            elif r < err:
+                i += 1
+            else:
+                out.append(int(ref[i]))
+                i += 1
+        reads.append("".join(BASES[c] for c in out))
+    return reads
+
+
+def bench_poa_remsa_probe(nwin=32):
+    """Device-vs-host remsa round breakdown at `nwin` windows: host C
+    s/window vs device build / KERNEL-ONLY / fetch / apply s/window.  The
+    kernel-vs-host comparison is the PCIe story (does the chip beat host C
+    per round once the link is not a 12 MB/s tunnel); the total decides
+    what ships on THIS host."""
+    import jax
+    if jax.default_backend() == "cpu":
+        return {}
+    from bsalign_tpu.poa import batch as PB
+    from bsalign_tpu.poa.core import BSPOAPar
+    rng = np.random.default_rng(7)
+    wins = [_gen_poa_window(rng) for _ in range(nwin)]
+    saved_env = os.environ.pop("BSA_PEDIT_DEVICE", None)
+    saved_verdict = PB._PEDIT_DEV_WINS
+    PB._PEDIT_DEV_WINS = None
+    try:
+        PB.run_windows_lockstep(wins, BSPOAPar())
+    finally:
+        if saved_env is not None:
+            os.environ["BSA_PEDIT_DEVICE"] = saved_env
+        PB._PEDIT_DEV_WINS = saved_verdict
+    out = {}
+    for k, v in PB.last_probe.items():
+        out["poa_remsa_" + k] = round(v, 4) if isinstance(v, float) else v
+    return out
+
+
 def bench_poa_windows():
     from bsalign_tpu.poa.batch import run_windows
     from bsalign_tpu.poa.core import BSPOAPar
     rng = np.random.default_rng(7)
-    BASES = "ACGT"
 
-    def gen_window(nreads=20, reflen=800, err=0.12):
-        ref = rng.integers(0, 4, reflen)
-        reads = []
-        for _ in range(nreads):
-            out, i = [], 0
-            while i < reflen:
-                r = rng.random()
-                if r < err * 0.3:
-                    out.append((int(ref[i]) + int(rng.integers(1, 4))) & 3)
-                    i += 1
-                elif r < err * 0.6:
-                    out.append(int(rng.integers(0, 4)))
-                elif r < err:
-                    i += 1
-                else:
-                    out.append(int(ref[i]))
-                    i += 1
-            reads.append("".join(BASES[c] for c in out))
-        return reads
-
-    wins = [gen_window() for _ in range(8)]
+    wins = [_gen_poa_window(rng) for _ in range(8)]
     rates = {}
     # Host C path and device-lockstep path; the right mode depends on the
     # host<->device link (lockstep wins on real PCIe, loses through a slow
@@ -379,16 +447,25 @@ def main():
             kernel_cells = bench_kernel(qs, ts)
     extras["kernel_compile_plus_first_s"] = getattr(
         bench_kernel, "last_compile_s", None)
-    ref_1t, ref_std = bench_reference(qs, ts)
     try:
-        extras["e2e_pairs_per_s_2kb_W128_B32"] = round(
-            bench_e2e(qs, ts, min(32, len(qs))), 2)
+        extras["link_dev_to_host_MB_per_s"] = round(bench_link_bandwidth(), 1)
+    except Exception as e:
+        extras["link_error"] = str(e)[:80]
+    ref_1t, ref_std = bench_reference(qs, ts)
+    # e2e over >= 2 device chunks (512 pairs) so the depth-2
+    # launch/traceback pipeline actually overlaps; B env can shrink it
+    n_e2e = min(512, len(qs))
+    try:
+        rate, brk = bench_e2e(qs, ts, n_e2e)
+        extras[f"e2e_pairs_per_s_2kb_W128_B{n_e2e}"] = round(rate, 2)
+        extras.update(brk)
     except Exception as e:  # keep the headline robust
         extras["e2e_error"] = str(e)[:120]
         try:  # retry without packed-code emission (planes fallback)
             os.environ["BSA_BT_CODES"] = "0"
-            extras["e2e_pairs_per_s_2kb_W128_B32"] = round(
-                bench_e2e(qs, ts, min(32, len(qs))), 2)
+            rate, brk = bench_e2e(qs, ts, n_e2e)
+            extras[f"e2e_pairs_per_s_2kb_W128_B{n_e2e}"] = round(rate, 2)
+            extras.update(brk)
             extras["e2e_codes_fallback"] = True
         except Exception:
             pass
@@ -427,6 +504,10 @@ def main():
         extras["poa_windows_mode"] = best
     except Exception as e:
         extras["poa_error"] = str(e)[:120]
+    try:
+        extras.update(bench_poa_remsa_probe())
+    except Exception as e:
+        extras["poa_remsa_probe_error"] = str(e)[:160]
     if kernel_cells is None:
         # non-Pallas engine selected (e.g. CPU smoke without
         # BSA_FORWARD_ENGINE=pallas): report honestly instead of crashing

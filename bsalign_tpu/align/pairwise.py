@@ -262,15 +262,24 @@ def _finish_batch(get_res, qseqs, tseqs, mode, bandwidth, W, piecewise, mtx,
     res = get_res()
     planes = res.planes
     metrics.add("banded8_fwd", fwd_cells, time.time() - t_launch)
+    t_f0 = time.time()
     if use_codes:
         codes_w = np.ascontiguousarray(planes.codes)
         us_p = es_p = qs_p = ub_p = None
+        fetch_bytes = codes_w.nbytes
     else:
         us_p = np.asarray(planes.us)
         es_p = None if planes.es is None else np.asarray(planes.es)
         qs_p = None if planes.qs is None else np.asarray(planes.qs)
         ub_p = np.asarray(planes.ubegs)
+        fetch_bytes = (us_p.nbytes + ub_p.nbytes
+                       + (0 if es_p is None else es_p.nbytes)
+                       + (0 if qs_p is None else qs_p.nbytes))
     begs_p = np.asarray(planes.begs)
+    # device->host traffic accounting ("cells" = bytes): rate ~= link
+    # bandwidth when arrays were not already fetched by a chunked driver
+    metrics.add("e2e_fetch", fetch_bytes + begs_p.nbytes,
+                time.time() - t_f0)
 
     out = []
     init_row = O.row_init(mode, bandwidth, smax, smin, gapo1, gape1, gapo2,
@@ -293,6 +302,7 @@ def _finish_batch(get_res, qseqs, tseqs, mode, bandwidth, W, piecewise, mtx,
             init_eo = np.ones(bandwidth, np.uint8)
     is_overlap = mode_type(mode) == MODE_OVERLAP
     rss = _base_results(res, mode, W, tlens)
+    t_tb0 = time.time()
     for b in range(B):
         tl = int(tlens[b])
         rs = rss[b]
@@ -325,6 +335,7 @@ def _finish_batch(get_res, qseqs, tseqs, mode, bandwidth, W, piecewise, mtx,
                                mode, bandwidth, mtx, gapo1, gape1, gapo2,
                                gape2, rs)
         out.append((rs, cigars))
+    metrics.add("e2e_traceback", B, time.time() - t_tb0)
     return out
 
 

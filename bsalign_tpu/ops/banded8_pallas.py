@@ -1098,12 +1098,14 @@ def make_forward(T: int, W: int, mode: int, piecewise: int, gapo1: int,
     kernel loses ~10% at S=2 (larger VMEM working set + per-row
     control flow outweigh the extra chain ILP), so the default stays 1.
 
-    Wide bands (probed on a real v5e chip, round 4): the kernel body's
+    Wide bands (re-probed on a real v5e chip, round 5): the kernel body's
     [W, WS, BL] vector temporaries grow linearly with W and the
-    deferred-sync path roughly doubles them, so Mosaic's 16 MB scoped
-    VMEM overflows at W > 8 stripes with defer on (34.66 MB requested at
-    W=16).  Auto rules when the caller leaves Rs/defer at None/default:
-    defer only for W <= 8 on hardware; Rs drops 16 -> 8 for W > 32.
+    deferred-sync path roughly doubles them.  Since the binary-composition
+    band shifts, defer fits Mosaic's 16 MB scoped VMEM through W = 16
+    stripes (band 256: 38.2 Gcells/s vs 15.7 defer-off) but still
+    overflows at W = 32.  Auto rules when the caller leaves Rs/defer at
+    None/default: defer for W <= 16 on hardware (Rs 8 for W 9..16, 16
+    below); defer-off Rs is 16 through W = 32 and 8 above.
     W > MAX_HW_STRIPES (64, band 1024) does not fit at all and raises
     BandTooWideError at construction time so drivers can fall back to
     the XLA scan engine (align/pairwise.py does)."""
@@ -1120,13 +1122,6 @@ def make_forward(T: int, W: int, mode: int, piecewise: int, gapo1: int,
             f"banded8 Pallas kernel: band {BW} (W={W} stripes) exceeds the "
             f"VMEM budget on TPU (max band {MAX_HW_STRIPES * WS}); use the "
             "XLA scan engine (banded8_jax) for wider bands")
-    if Rs is None:
-        Rs = 16 if (interpret or W <= 32) else 8
-    elif not interpret and W > 32 and Rs > 8:
-        from ..utils import metrics
-        metrics.log(1, f"banded8: explicit Rs={Rs} at W={W} stripes exceeds "
-                       "the probed VMEM budget on hardware (auto would pick "
-                       "Rs=8); honoring the request — expect possible OOM")
     if defer is None:
         import os
         env = os.environ.get("BSA_K8_DEFER", "1")
@@ -1135,10 +1130,25 @@ def make_forward(T: int, W: int, mode: int, piecewise: int, gapo1: int,
         elif env == "force":
             defer = True
         else:
-            # hardware VMEM budget: defer's doubled temporaries only fit
-            # narrow bands; interpret mode has no such limit
-            defer = interpret or W <= 8
+            # hardware VMEM budget: defer's temporaries fit through W=16
+            # stripes since the binary-composition shifts (round 5, probed
+            # on v5e up to qpc 8192); W=32 still overflows Mosaic VMEM
+            defer = interpret or W <= 16
     defer_eff = bool(defer)
+    if Rs is None:
+        if interpret:
+            Rs = 16
+        elif defer_eff and W > 8:
+            Rs = 8   # W 9..16 defer: probed faster than Rs=16 and fits
+        elif W <= 32:
+            Rs = 16
+        else:
+            Rs = 8
+    elif not interpret and W > 32 and Rs > 8:
+        from ..utils import metrics
+        metrics.log(1, f"banded8: explicit Rs={Rs} at W={W} stripes exceeds "
+                       "the probed VMEM budget on hardware (auto would pick "
+                       "Rs=8); honoring the request — expect possible OOM")
 
     def prepare(qpad, qlen, tseq, tlen, mtx5, rby, init_us, init_es, init_qs,
                 init_ub, init_reg=None, row0=0):

@@ -299,10 +299,19 @@ def _nt_bucket(NT):
     return 1 << max(NT - 1, 0).bit_length()
 
 
+# timing breakdown of the most recent pedit_forward_batch call (seconds):
+# pack (host packing), kernel (device compute, block_until_ready, no
+# fetch), fetch+unpack (device->host transfer + scatter).  Read by the
+# POA lockstep probe / bench to separate kernel speed from link cost.
+last_timings = {}
+
+
 def pedit_forward_batch(jobs, Rs=64, interpret=None):
     """Run the pedit forward DP for a batch of jobs on the TPU; returns
     per-job (matrix0, matrix1) uint8 arrays identical to the native
     bsa_pedit_forward layout ([2*mlen+1+1, rowlen] flattened)."""
+    import time
+
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     assert jobs
@@ -314,13 +323,30 @@ def pedit_forward_batch(jobs, Rs=64, interpret=None):
         R = max(8, 1 << (len(jobs) - 1).bit_length())
     else:
         R = R_BUCKET
-    outs = []
+    tm = {"pack_s": 0.0, "kernel_s": 0.0, "fetch_s": 0.0,
+          "njobs": len(jobs), "ncalls": 0}
+    # launch every R-chunk first (jax dispatch is async), then fetch/unpack
+    # in order: the device computes chunk k+1 while the host scatters chunk
+    # k's matrices
+    launched = []
+    t0 = time.perf_counter()
     for lo in range(0, len(jobs), R):
         chunk = jobs[lo:lo + R]
         nsteps = max(2 * (j.mend - j.mbeg) - 1 for j in chunk)
         NT = _nt_bucket(-(-(nsteps + 1) // Rs))
         init, feed = pack_jobs(chunk, R, Rs, NT)
         call = _get_call(bw, HW, R, Rs, NT, bool(interpret))
-        o0, o1 = call(init, feed)
+        launched.append((chunk, call(init, feed)))
+        tm["ncalls"] += 1
+    tm["pack_s"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    jax.block_until_ready([p[1] for p in launched])
+    tm["kernel_s"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    outs = []
+    for chunk, (o0, o1) in launched:
         outs.extend(unpack_jobs(chunk, np.asarray(o0), np.asarray(o1)))
+    tm["fetch_s"] = time.perf_counter() - t0
+    last_timings.clear()
+    last_timings.update(tm)
     return outs

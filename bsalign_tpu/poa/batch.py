@@ -65,6 +65,13 @@ def _window_result(g: BSPOA, want_msa: bool) -> WindowResult:
 # the device sat behind a slow tunnel).  BSA_PEDIT_DEVICE=force pins device.
 _PEDIT_DEV_WINS: Optional[bool] = None
 
+# timing breakdown of the most recent device-vs-host probe round (seconds
+# per window): host C engine vs the device path split into build (host
+# packing), kernel (device compute only) and apply (fetch + traceback +
+# graph surgery).  Read by bench.py to report whether the device KERNEL
+# beats host C per round even when the link makes the total lose.
+last_probe: dict = {}
+
 
 def _dev_round(pend, pedit_forward_batch):
     """Run one realignment round for `pend` [(g, ctx, all_)] with every
@@ -168,10 +175,25 @@ def run_windows_lockstep(windows: Sequence[Sequence],
                 g._remsa_dev_apply(ctx, spec, mats[off:off + n], all_)
             t_apply = _time.perf_counter() - t0
             if jobs:
-                t_dev = (t_build + t_fwd + t_apply) / (len(pend) - 1)
+                from ..ops import pedit_pallas as _PP
+                nw = len(pend) - 1
+                t_dev = (t_build + t_fwd + t_apply) / nw
                 # 10% margin: on a marginal link, prefer the engine whose
                 # cost we did not just estimate from a single round.
                 _PEDIT_DEV_WINS = t_dev <= t_host * 0.9
+                last_probe.clear()
+                last_probe.update({
+                    "host_s_per_window": t_host,
+                    "dev_total_s_per_window": t_dev,
+                    "dev_build_s_per_window": t_build / nw,
+                    "dev_kernel_s_per_window":
+                        _PP.last_timings.get("kernel_s", t_fwd) / nw,
+                    "dev_fetch_s_per_window":
+                        _PP.last_timings.get("fetch_s", 0.0) / nw,
+                    "dev_apply_s_per_window": t_apply / nw,
+                    "n_windows_dev": nw,
+                    "njobs": len(jobs),
+                })
             continue
         if use_dev or (use_dev is None and len(pend) >= 2):
             _dev_round(pend, pedit_forward_batch)
