@@ -45,30 +45,33 @@ MIN8 = SCORE_EPI8_MIN  # band-edge fill
 C_CHUNK = 256          # query code chunk length (refresh granularity)
 SLANES = 32            # striped window lanes (WS+1 needed + slack)
 UBR = WS + 8           # ubegs rows padded to a sublane-friendly 24
-MAX_HW_STRIPES = 64    # widest band (W stripes, band = W*16) that fits the
-                       # 16 MB scoped VMEM on a real chip (probed on v5e:
-                       # W=64 needs Rs=8 + defer off; W=128 cannot fit)
+MAX_HW_STRIPES = 64    # widest band (W stripes, band = W*16) the Pallas
+                       # kernel supports on a real chip (with the 64 MB
+                       # scoped-VMEM raise for W > 16; W=128 not probed)
 
 
 def fits_hw_vmem(W: int, qp: int) -> bool:
-    """Whether a (band stripes W, padded query length qp) config fits the
-    16 MB scoped VMEM on a real chip.
+    """Whether a (band stripes W, padded query length qp) config fits
+    scoped VMEM on a real chip.
 
     The whole padded query is VMEM-resident (`qch` below: ~(qp+W*SLANES)*
     BL*4 bytes after C_CHUNK rounding) on top of a working set that grows
-    ~linearly in W (state planes + Mosaic stack temporaries). Bounds are
-    probe-calibrated on v5e (round 4): W=64/Rs=8 passed at qp~600 and
-    OOM'd by 0.6 MB at qp~2200+; W=16..32 passed at qp~2600 (2 kb parity
-    matrix); W<=8 is the production config at qp~2.5k with plenty of
-    headroom. Callers fall back to the XLA scan engine when this is
-    False (align/pairwise._engine_for_band)."""
+    ~linearly in W (state planes + Mosaic stack temporaries).  Narrow
+    bands (W <= 16) run under Mosaic's default 16 MB scoped budget; wide
+    bands get a per-kernel 64 MB raise (see the pallas_call site), which
+    is what lets defer + realistic query lengths fit through W = 64.
+    Bounds are compile-probe-calibrated on v5e (round 5,
+    tools/vmem_probe.py): W=32 defer fits at qpc 16128 (15 kb query),
+    W=64 defer at qpc 17152 (15 kb); W<=8 at qpc 12288 under the default
+    budget.  Callers fall back to the XLA scan engine when this is False
+    (align/pairwise._engine_for_band)."""
     qpc = roundup(qp + W * SLANES, C_CHUNK)
     if W <= 8:
         return qpc <= 12288
-    if W <= 32:
-        return qpc <= 8192
+    if W <= 16:
+        return qpc <= 8192    # default 16 MB budget (round-4 probe)
     if W <= MAX_HW_STRIPES:
-        return qpc <= 2688
+        return qpc <= 16128   # 64 MB raised budget (round-5 probe)
     return False
 
 
@@ -1072,6 +1075,24 @@ def _get_call(T, W, mode, piecewise, gapo1, gape1, gapo2, gape2, nt_max,
             pltpu.VMEM((S, WS + 1, BL), I32),                # sv_ub
             pltpu.VMEM((S, 8, BL), I32),                     # sv_reg
         ]
+    # Mosaic's default scoped-VMEM budget (16 MB on v5e) is conservative;
+    # the deferred-sync schedule's temporaries overflow it past W = 16
+    # stripes (measured: W=32/Rs=8/defer needs 17.9 MB).  Raising the
+    # per-kernel limit to 64 MB lets defer run through W = 64 (v5e,
+    # round 5: band 512 defer 32.8 Gcells/s vs 13.1 defer-off; band
+    # 1024 defer 21.1 vs 12.2 — and vs 0.6 for the XLA-scan fallback
+    # these bands previously got) — a far better trade than shrinking
+    # the working set (a 4-bit-packed query window prototype saved 8x
+    # the window VMEM but lost 17-54% everywhere to its per-row
+    # unpack).  Narrow bands keep the default so the compiler's normal
+    # scheduling pressure is unchanged on the headline config.
+    # BSA_K8_VMEM_MB overrides for probing.
+    import os as _os
+    _vmem_mb = _os.environ.get("BSA_K8_VMEM_MB")
+    if _vmem_mb is not None:
+        vmem_limit = int(_vmem_mb) * 1024 * 1024
+    else:
+        vmem_limit = 64 * 1024 * 1024 if W > 16 else None
     call = pl.pallas_call(
         kernel,
         grid=(NB // S, TC),
@@ -1080,6 +1101,8 @@ def _get_call(T, W, mode, piecewise, gapo1, gape1, gapo2, gape2, nt_max,
         out_specs=out_specs,
         scratch_shapes=scratch,
         interpret=bool(interpret),
+        compiler_params=None if vmem_limit is None else
+        pltpu.CompilerParams(vmem_limit_bytes=vmem_limit),
     )
     return jax.jit(call)
 
@@ -1100,15 +1123,16 @@ def make_forward(T: int, W: int, mode: int, piecewise: int, gapo1: int,
 
     Wide bands (re-probed on a real v5e chip, round 5): the kernel body's
     [W, WS, BL] vector temporaries grow linearly with W and the
-    deferred-sync path roughly doubles them.  Since the binary-composition
-    band shifts, defer fits Mosaic's 16 MB scoped VMEM through W = 16
-    stripes (band 256: 38.2 Gcells/s vs 15.7 defer-off) but still
-    overflows at W = 32.  Auto rules when the caller leaves Rs/defer at
-    None/default: defer for W <= 16 on hardware (Rs 8 for W 9..16, 16
-    below); defer-off Rs is 16 through W = 32 and 8 above.
-    W > MAX_HW_STRIPES (64, band 1024) does not fit at all and raises
-    BandTooWideError at construction time so drivers can fall back to
-    the XLA scan engine (align/pairwise.py does)."""
+    deferred-sync path roughly doubles them.  W <= 16 fits Mosaic's
+    default 16 MB scoped VMEM (band 256 defer: ~40 Gcells/s vs 15.7
+    defer-off); W > 16 gets a per-kernel 64 MB scoped-VMEM raise
+    (pltpu.CompilerParams(vmem_limit_bytes), see the pallas_call site)
+    under which defer fits through W = 64 (band 512: 32.8 vs 13.1
+    defer-off; band 1024: 21.1 vs 12.2).  Auto rules when the caller
+    leaves Rs/defer at None/default: defer always on; Rs 8 for W > 8,
+    16 for W <= 8.  W > MAX_HW_STRIPES (64, band 1024) is not probed and
+    raises BandTooWideError at construction time so drivers can fall
+    back to the XLA scan engine (align/pairwise.py does)."""
     BW = W * WS
     CPW = -(-W // 8)
     mt = mode_type(mode)
@@ -1130,16 +1154,18 @@ def make_forward(T: int, W: int, mode: int, piecewise: int, gapo1: int,
         elif env == "force":
             defer = True
         else:
-            # hardware VMEM budget: defer's temporaries fit through W=16
-            # stripes since the binary-composition shifts (round 5, probed
-            # on v5e up to qpc 8192); W=32 still overflows Mosaic VMEM
-            defer = interpret or W <= 16
+            # defer fits through W=16 under Mosaic's default 16 MB scoped
+            # limit and through W=64 with the 64 MB per-kernel raise at
+            # the pallas_call site (round 5, measured on v5e: band 512
+            # defer 32.8 Gcells/s vs 13.1 defer-off; band 1024 21.1 vs
+            # 12.2) — i.e. defer is on for every supported band width
+            defer = True
     defer_eff = bool(defer)
     if Rs is None:
         if interpret:
             Rs = 16
         elif defer_eff and W > 8:
-            Rs = 8   # W 9..16 defer: probed faster than Rs=16 and fits
+            Rs = 8   # wide-band defer: probed faster than Rs=16 and fits
         elif W <= 32:
             Rs = 16
         else:
