@@ -292,11 +292,62 @@ def epi2_edit_batch(qseqs: Sequence[np.ndarray], tseqs: Sequence[np.ndarray]
     """Library equivalent of the reference's 2-bit packed full-matrix edit
     engine (striped_epi2_seqedit_pairwise, bsalign.h:1538-2082).
 
-    The epi2 variant is an alternative SIMD packing (2-bit codes in xint
-    lanes) of the SAME global full-matrix +-1 delta recurrence; its
-    outputs are identical to the 64-bit-word engine at bandwidth 0, so
-    this maps onto the batched bit-plane kernel rather than duplicating a
-    packing scheme the TPU has no use for. (The reference's epi2
-    row_merge is marked UN-FINISHED upstream, :1796, and nothing in
-    main.c calls the epi2 path.)"""
-    return edit_batch(qseqs, tseqs, MODE_GLOBAL, 0)
+    Packing: the reference stores each cell's u-delta (H(x,y)-H(x-1,y),
+    always in {-1,0,+1}) as a 2-bit code striped over xint lanes, one full
+    query row per target base, and resolves the horizontal carry with an
+    iterative re-scan until the row stops changing (:1676-1702). On TPU
+    the native equivalent of that packing is the SAME two bits split into
+    a minus-plane and a plus-plane packed 32 query positions per uint32
+    lane word — identical information per cell (2 bits), laid out for the
+    VPU's 32-bit lanes — and the re-scan loop is replaced by its closed
+    form (the carry chain is one binary addition; the row values are the
+    unique fixpoint either way).  The forward therefore shares the
+    bit-plane kernel with the 64-bit seqedit engine at full band, and the
+    backtrace priority is the same (match > I(u==+1) > D(u_prev==-1) >
+    mismatch, :1704-1795 == :965-1044).
+
+    Reference-faithful driver semantics reproduced here (they differ from
+    ``edit_batch(mode=GLOBAL, bw=0)``):
+    - the mode argument is UNUSED upstream (:2008, ``UNUSED(mode)``) —
+      always global full-matrix;
+    - the epi2 backtrace never assigns ``rs.score`` (:1708 zeroes the
+      struct and nothing writes score) — results carry score == 0;
+    - empty query/target still walk the boundary absorption (:1766-1789):
+      leading rows/columns become one pure I/D run instead of the empty
+      result the banded driver returns.
+
+    (The reference's epi2 row_merge is marked UN-FINISHED upstream,
+    :1796, and nothing in main.c calls the epi2 path.)"""
+    out: List = [None] * len(qseqs)
+    live_idx = []
+    for i, (q, t) in enumerate(zip(qseqs, tseqs)):
+        qlen, tlen = len(q), len(t)
+        if qlen and tlen:
+            live_idx.append(i)
+            continue
+        # degenerate pairs: while-loop skipped, qb/tb absorbed (:1766-1789)
+        rs = AlnResult()
+        rs.qe, rs.te = qlen, tlen
+        cigars: List[int] = []
+        if qlen:
+            rs.ins = qlen
+            cigars.append((qlen << 4) | 1)
+        if tlen:
+            rs.dele = tlen
+            cigars.append((tlen << 4) | 2)
+        rs.aln = rs.ins + rs.dele
+        out[i] = (rs, cigars)
+    if live_idx:
+        res = edit_batch([qseqs[i] for i in live_idx],
+                         [tseqs[i] for i in live_idx], MODE_GLOBAL, 0)
+        for i, (rs, cigars) in zip(live_idx, res):
+            rs.score = 0    # ZEROS(&rs) and never assigned (:1708)
+            out[i] = (rs, cigars)
+    return out
+
+
+def epi2_edit_pairwise(qseq: np.ndarray, tseq: np.ndarray
+                       ) -> Tuple[AlnResult, List[int]]:
+    """Single-pair entry mirroring striped_epi2_seqedit_pairwise
+    (bsalign.h:2002-2082)."""
+    return epi2_edit_batch([qseq], [tseq])[0]
