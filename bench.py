@@ -156,11 +156,15 @@ def bench_link_bandwidth(mb=8):
     every transfer-bound number above."""
     import jax
     import jax.numpy as jnp
+    # warm the transfer path on a separate tiny buffer: jax caches the
+    # host copy per-array, so re-fetching the SAME buffer times a memcpy
+    warm = jax.device_put(jnp.zeros((1024,), jnp.int32))
+    warm.block_until_ready()
+    np.asarray(warm)
     x = jax.device_put(jnp.zeros((mb * 1024 * 1024 // 4,), jnp.int32))
     x.block_until_ready()
-    np.asarray(x)  # warm
     t0 = time.time()
-    np.asarray(x)
+    np.asarray(x)  # first host fetch of this buffer: a real D2H transfer
     dt = time.time() - t0
     return mb / dt
 
@@ -522,7 +526,11 @@ def main():
     extras["baseline_note"] = (
         "vs_baseline is vs estimated 32-thread AVX2 (1-thread SSE4.2 "
         "measured x2 lane width x32 threads); e2e on this host is "
-        "bottlenecked by a ~12MB/s dev tunnel, not device time")
+        "bottlenecked by a MB/s-scale dev tunnel, not device time")
+    extras["tiny_band_note"] = (
+        "bands < 32 (W < 2 stripes) route to the XLA scan engine, never "
+        "the Pallas kernel (stripe shifts need W >= 2; "
+        "align/pairwise._engine_for_band)")
     vs = (kernel_cells / baseline) if (baseline and kernel_cells) else -1.0
     print(json.dumps({
         "metric": "dp_cell_updates_per_s_per_chip_banded8",
